@@ -1,0 +1,274 @@
+"""Distributed matrix profile over per-conversation series.
+
+Two physical strategies (chosen by series length, SURVEY.md §7.4):
+
+1. ``matrix_profile`` — whole-series-per-task: groupBy(conv_id, metric)
+   → applyInPandas runs the NumPy kernel on the assembled series. Right
+   for the post-rollup regime where per-conv series are ≤ ~1e6 points:
+   parallelism comes from the *number of conversations* (the reference's
+   own thread scaling is flat beyond 2 cores — BASELINE.md — so
+   cross-series data parallelism is the scaling axis that matters).
+
+2. ``matrix_profile_chunked`` — intra-series parallelism for mega
+   threads: the MPX diagonal workload is split by DiagBatchingScheme
+   into B balanced batches, each (conv, batch) becomes its own Spark
+   task computing a partial profile, and partials merge with
+   min_by(struct(mp, -batch)) — reproducing the reference's
+   "later batch wins Euclidean ties" channel-merge order
+   (mergeMPResults, matrixprofile.go:607-661) as a shuffle aggregation.
+
+Output schema (FIXTURES.md A.2):
+  mp_profile(conv_id, metric, w int, offset int, mp double, idx int)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..kernels.matrix_profile import MatrixProfile, MPOpts
+
+MP_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("mp", T.DoubleType(), True),
+        T.StructField("idx", T.LongType(), True),
+    ]
+)
+
+MOTIF_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("group", T.IntegerType(), False),
+        T.StructField("idx", T.ArrayType(T.IntegerType()), False),
+        T.StructField("min_dist", T.DoubleType(), False),
+    ]
+)
+
+DISCORD_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("idx", T.IntegerType(), False),
+    ]
+)
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("idx", T.IntegerType(), False),
+        T.StructField("cac", T.DoubleType(), False),
+    ]
+)
+
+
+def _series_values(pdf: pd.DataFrame) -> np.ndarray:
+    return pdf.sort_values("bucket_ts")["value"].to_numpy(dtype=np.float64)
+
+
+def matrix_profile(
+    series: DataFrame,
+    w: int,
+    opts: MPOpts | None = None,
+    value_col: str = "value",
+    min_len: int | None = None,
+) -> DataFrame:
+    """Self-join MP per (conv_id, metric); series shorter than w+1 are
+    skipped (no profile defined)."""
+    opts = opts or MPOpts()
+    min_len = max(min_len or 0, w + 1)
+    src = series.select(
+        "conv_id", "metric", "bucket_ts", F.col(value_col).alias("value")
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id, metric = key
+        vals = _series_values(pdf)
+        if vals.size < min_len:
+            return pd.DataFrame(columns=[f.name for f in MP_SCHEMA.fields])
+        mp = MatrixProfile(vals, None, w).compute(opts)
+        n = mp.mp.size
+        return pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "metric": metric,
+                "w": np.int32(w),
+                "offset": np.arange(n, dtype=np.int32),
+                "mp": mp.mp,
+                "idx": mp.idx,
+            }
+        )
+
+    return src.groupBy("conv_id", "metric").applyInPandas(kernel, MP_SCHEMA)
+
+
+def matrix_profile_chunked(
+    series: DataFrame,
+    w: int,
+    n_batches: int = 8,
+    opts: MPOpts | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """MPX with intra-series parallelism: B diagonal-batch tasks per conv.
+
+    Stage 1 assembles each conv's series once (sorted array per row),
+    stage 2 explodes a batch index 0..B-1 (each task re-derives its
+    diagonal range from DiagBatchingScheme — deterministic), stage 3
+    computes the batch partial in a pandas UDF, stage 4 merges with a
+    shuffle min_by that encodes the reference's tie order.
+    """
+    opts = opts or MPOpts(algorithm="mpx")
+    src = series.select(
+        "conv_id", "metric", "bucket_ts", F.col(value_col).alias("value")
+    )
+    assembled = src.groupBy("conv_id", "metric").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket_ts", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    batched = assembled.withColumn(
+        "batch", F.explode(F.sequence(F.lit(0), F.lit(n_batches - 1)))
+    ).repartition("conv_id", "metric", "batch")
+
+    part_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("metric", T.StringType(), False),
+            T.StructField("batch", T.IntegerType(), False),
+            T.StructField("offset", T.IntegerType(), False),
+            T.StructField("mp", T.DoubleType(), True),
+            T.StructField("idx", T.LongType(), True),
+        ]
+    )
+
+    def batch_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.util import diag_batching_scheme
+
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                vals = np.asarray(row.vals, dtype=np.float64)
+                if vals.size < w + 1:
+                    continue
+                mp_task = MatrixProfile(vals, None, w)
+                mp_task.opts = opts
+                len_a = vals.size - w + 1
+                scheme = diag_batching_scheme(len_a, n_batches)
+                bidx, bsz = scheme[row.batch]
+                from ..kernels.util import mu_invn
+
+                mua, siga = mu_invn(vals, w)
+                len_prof = len_a
+                dfa = np.zeros(len_prof)
+                dga = np.zeros(len_prof)
+                dfa[1:] = 0.5 * (vals[w : w + len_prof - 1] - vals[: len_prof - 1])
+                dga[1:] = (vals[w : w + len_prof - 1] - mua[1:len_prof]) + (
+                    vals[: len_prof - 1] - mua[: len_prof - 1]
+                )
+                res = mp_task._mpx_batch(bidx, mua, siga, dfa, dga, bsz)
+                if res is None:
+                    continue
+                bmp, bi, _, _ = res
+                yield pd.DataFrame(
+                    {
+                        "conv_id": row.conv_id,
+                        "metric": row.metric,
+                        "batch": np.int32(row.batch),
+                        "offset": np.arange(bmp.size, dtype=np.int32),
+                        "mp": bmp,
+                        "idx": bi,
+                    }
+                )
+
+    partials = batched.mapInPandas(batch_kernel, part_schema)
+    # later batch wins Euclidean ties (<= in mergeMPResults): order by
+    # (mp asc, batch desc) and take the first via min_by on a struct
+    merged = partials.groupBy("conv_id", "metric", "offset").agg(
+        F.min_by(
+            F.struct("mp", "idx"), F.struct(F.col("mp"), (-F.col("batch")).alias("nb"))
+        ).alias("best")
+    )
+    return merged.select(
+        "conv_id",
+        "metric",
+        F.lit(w).cast("int").alias("w"),
+        "offset",
+        F.col("best.mp").alias("mp"),
+        F.col("best.idx").alias("idx"),
+    )
+
+
+def discover(
+    series: DataFrame,
+    w: int,
+    k_motifs: int = 3,
+    r_motifs: float = 2.0,
+    k_discords: int = 3,
+    opts: MPOpts | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Analyze pipeline per conv: MP → motifs + discords + segmentation.
+
+    The greedy discovery loops are inherently sequential per series
+    (each pick mutates the profile — SURVEY.md §2.5) so they run inside
+    the per-conv UDF; results explode into three tables.
+    """
+    opts = opts or MPOpts()
+    src = series.select("conv_id", "metric", "bucket_ts", "value")
+
+    combined_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("metric", T.StringType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField("idx", T.ArrayType(T.IntegerType()), True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id, metric = key
+        vals = _series_values(pdf)
+        rows = []
+        if vals.size >= max(2 * w, w + 4):
+            mp = MatrixProfile(vals, None, w).compute(opts)
+            try:
+                motifs = mp.discover_motifs(k_motifs, r_motifs, 10, w // 2)
+            except ValueError:
+                motifs = []
+            for g, group in enumerate(motifs):
+                if group.idx:
+                    rows.append((conv_id, metric, w, "motif", g, group.idx, group.min_dist))
+            for r, d_idx in enumerate(mp.discover_discords(k_discords, w // 2)):
+                rows.append((conv_id, metric, w, "discord", r, [d_idx], float(mp.mp[d_idx])))
+            seg_idx, seg_val, _ = mp.discover_segments()
+            rows.append((conv_id, metric, w, "segment", 0, [seg_idx], seg_val))
+        return pd.DataFrame(
+            rows, columns=["conv_id", "metric", "w", "kind", "rank", "idx", "score"]
+        )
+
+    combined = src.groupBy("conv_id", "metric").applyInPandas(kernel, combined_schema)
+    motifs = combined.where(F.col("kind") == "motif").select(
+        "conv_id", "metric", "w", F.col("rank").alias("group"), "idx", F.col("score").alias("min_dist")
+    )
+    discords = combined.where(F.col("kind") == "discord").select(
+        "conv_id", "metric", "w", "rank", F.element_at("idx", 1).alias("idx")
+    )
+    segments = combined.where(F.col("kind") == "segment").select(
+        "conv_id", "metric", "w", F.element_at("idx", 1).alias("idx"), F.col("score").alias("cac")
+    )
+    return motifs, discords, segments
