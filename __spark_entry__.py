@@ -1,38 +1,739 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship pipeline on /root/testdata/sf0.001.
+queries()     — one entry per implemented operator (SURVEY.md §2 plus
+                the training-data-pipeline operators); each callable
+                takes (spark, sf_dir) and returns a DataFrame.
+oracle_sql()  — DuckDB-runnable ANSI SQL per oracle-checkable query.
+
+Design notes for cross-engine value-hash stability:
+- No timestamps in outputs: buckets are epoch seconds (BIGINT) —
+  identical int64 micros in the parquet on both engines, independent of
+  session timezones.
+- Every float output is ROUND(x, 4..6) on BOTH sides.
+- Hash primitive: first 8 hex chars of md5 as int64 — Spark
+  `conv(substring(md5(x),1,8),16,10)`, DuckDB
+  `('0x'||substr(md5(x),1,8))::BIGINT` — verified equal.
+- Matrix-profile / KMP / PMP / MPDist queries are not SQL-expressible;
+  they have no oracle entry (rows-only check) and are instead pinned by
+  the Go golden-fixture pytest suite (tests/test_kernels_*.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from go_matrixprofile_spark.kernels.matrix_profile import MPOpts
+from go_matrixprofile_spark.operators import dedup as DD
+from go_matrixprofile_spark.operators import rollup as R
+from go_matrixprofile_spark.operators import series as S
+from go_matrixprofile_spark.operators import simsearch as SS
+from go_matrixprofile_spark.operators import text as TX
+from go_matrixprofile_spark.operators.profile import (
+    discover,
+    k_matrix_profile,
+    matrix_profile,
+    matrix_profile_chunked,
+    mpdist_pairs,
+    pan_matrix_profile,
+    streaming_update_check,
+)
+from go_matrixprofile_spark.sources.transcripts import transcripts_from_events
+
+
+# --------------------------------------------------------------------- inputs
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_events(_events(spark, sf_dir))
+
+
+def _hourly_rate_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly turn-rate series per conversation — the standard
+    input to the matrix-profile queries."""
+    t = _transcripts(spark, sf_dir)
+    s = S.turn_rate_series(t, 3600)
+    tier = R.rollup_raw(s, "1h")
+    return R.gap_fill_locf(tier, 3600, value_col="sum")
+
+
+# ---------------------------------------------------------------- the queries
+
+
+def q_series_text_len(spark, sf_dir):
+    t = _transcripts(spark, sf_dir)
+    return t.select("conv_id", "turn_idx", F.length("text").alias("text_len"))
+
+
+def q_series_latency(spark, sf_dir):
+    t = _transcripts(spark, sf_dir)
+    lat = S.inter_turn_latency_series(t)
+    # join turn_idx back for a stable key (latency series keys by ts)
+    return lat.select("conv_id", F.round("value", 6).alias("latency_s"))
+
+
+def q_series_turn_rate(spark, sf_dir):
+    t = _transcripts(spark, sf_dir)
+    s = S.turn_rate_series(t, 60)
+    return s.select(
+        "conv_id",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col("value").cast("long").alias("turns"),
+    )
+
+
+def _rollup_select(tier: DataFrame) -> DataFrame:
+    return tier.select(
+        "conv_id",
+        "bucket_s",
+        "cnt",
+        F.round("sum", 4).alias("sum_v"),
+        F.round("min", 4).alias("min_v"),
+        F.round("max", 4).alias("max_v"),
+        F.round("first", 4).alias("first_v"),
+        F.round("last", 4).alias("last_v"),
+    )
+
+
+def q_rollup_1m(spark, sf_dir):
+    s = S.text_len_series(_transcripts(spark, sf_dir))
+    return _rollup_select(R.rollup_raw(s, "1m"))
+
+
+def q_rollup_1h(spark, sf_dir):
+    s = S.text_len_series(_transcripts(spark, sf_dir))
+    return _rollup_select(R.rollup_tier(R.rollup_raw(s, "1m"), "1h"))
+
+
+def q_rollup_1d(spark, sf_dir):
+    s = S.text_len_series(_transcripts(spark, sf_dir))
+    return _rollup_select(R.rollup_tier(R.rollup_tier(R.rollup_raw(s, "1m"), "1h"), "1d"))
+
+
+def q_gapfill_locf(spark, sf_dir):
+    filled = _hourly_rate_filled(spark, sf_dir)
+    return filled.select(
+        "conv_id",
+        "bucket_s",
+        F.round("value", 4).alias("value"),
+        "filled",
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    return S.sessionize(_transcripts(spark, sf_dir), 1800.0)
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs")
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(
+        _documents(spark, sf_dir), k=8, threshold=0.2, max_doc_id=300
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return DD.minhash_lsh_pairs(_documents(spark, sf_dir), 8, 8, 2, max_doc_id=None)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return DD.simhash(_documents(spark, sf_dir), 16)
+
+
+def q_text_quality(spark, sf_dir):
+    return TX.text_quality(_documents(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return TX.token_counts(_documents(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return TX.lang_id(_documents(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_documents(spark, sf_dir))
+
+
+def q_knn_brute_cosine(spark, sf_dir):
+    return SS.knn_brute_cosine(_embeddings(spark, sf_dir), n_queries=8, k=5)
+
+
+def q_knn_lsh_cosine(spark, sf_dir):
+    return SS.knn_lsh_cosine(_embeddings(spark, sf_dir), n_queries=8, k=5, n_planes=6)
+
+
+def q_lsh_signatures(spark, sf_dir):
+    return SS.lsh_signatures(_embeddings(spark, sf_dir), n_planes=8)
+
+
+def q_cosine_near_dup(spark, sf_dir):
+    return SS.cosine_near_dup_pairs(_embeddings(spark, sf_dir), threshold=0.3, n_planes=4)
+
+
+# ------------------------- matrix-profile queries (rows-only, Go-fixture-pinned)
+
+
+def q_mp_event_rate(spark, sf_dir):
+    filled = _hourly_rate_filled(spark, sf_dir)
+    return matrix_profile(filled, w=24, opts=MPOpts(algorithm="mpx"))
+
+
+def q_mp_stomp_event_rate(spark, sf_dir):
+    filled = _hourly_rate_filled(spark, sf_dir)
+    sub = filled.where(F.col("conv_id").cast("int") < 20)
+    return matrix_profile(sub, w=24, opts=MPOpts(algorithm="stomp"))
+
+
+def q_mp_chunked(spark, sf_dir):
+    filled = _hourly_rate_filled(spark, sf_dir)
+    sub = filled.where(F.col("conv_id").cast("int") < 20)
+    return matrix_profile_chunked(sub, w=24, n_batches=4)
+
+
+def q_mp_discords(spark, sf_dir):
+    filled = _hourly_rate_filled(spark, sf_dir)
+    _, discords, _ = discover(filled, w=24)
+    return discords
+
+
+def q_mp_motifs(spark, sf_dir):
+    filled = _hourly_rate_filled(spark, sf_dir)
+    motifs, _, _ = discover(filled, w=24)
+    return motifs.select(
+        "conv_id", "metric", "w", "group", F.round("min_dist", 4).alias("min_dist")
+    )
+
+
+def q_mp_segments(spark, sf_dir):
+    filled = _hourly_rate_filled(spark, sf_dir)
+    _, _, segments = discover(filled, w=24)
+    return segments.select("conv_id", "metric", "w", "idx", F.round("cac", 4).alias("cac"))
+
+
+def q_kmp_event_types(spark, sf_dir):
+    """3-dim KMP: per-conv hourly counts of three event roles on a
+    shared gap-filled grid."""
+    t = _transcripts(spark, sf_dir).where(F.col("role").isin("click", "view", "error"))
+    s = (
+        t.groupBy(
+            "conv_id", "role", S.bucket_of(S.ts_seconds(), 3600).alias("bucket_s")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(
+            "conv_id",
+            F.col("role").alias("metric"),
+            F.col("bucket_s").cast("double").alias("bucket_s"),
+            "value",
+        )
+    )
+    tier = R.rollup_raw(s, "1h")
+    filled = R.gap_fill_locf(tier, 3600, value_col="sum")
+    # common grid across dims: keep only buckets where all three dims
+    # have a value so the per-conv pivot is dense
+    multi = filled.select("conv_id", F.col("metric").alias("dim"), "bucket_s", "value")
+    counts = multi.groupBy("conv_id", "bucket_s").agg(F.count("*").alias("ndims"))
+    full = counts.where(F.col("ndims") == 3).select("conv_id", "bucket_s")
+    aligned = multi.join(full, ["conv_id", "bucket_s"])
+    sub = aligned.where(F.col("conv_id").cast("int") < 30)
+    return k_matrix_profile(sub, w=12)
+
+
+def q_pmp_event_rate(spark, sf_dir):
+    filled = _hourly_rate_filled(spark, sf_dir)
+    sub = filled.where(F.col("conv_id").cast("int") < 15)
+    return pan_matrix_profile(sub, 8, 12)
+
+
+def q_mpdist_pairs(spark, sf_dir):
+    filled = _hourly_rate_filled(spark, sf_dir)
+    return mpdist_pairs(filled, w=16, max_convs=12).select(
+        "a_id", "b_id", "metric", F.round("mpdist", 4).alias("mpdist")
+    )
+
+
+def q_update_equivalence(spark, sf_dir):
+    # noisy µs-resolution latency series: no constant windows, so the
+    # incremental path never hits the reference's zero-std error
+    lat = S.inter_turn_latency_series(_transcripts(spark, sf_dir))
+    sub = lat.where(F.col("conv_id").cast("int") < 10)
+    return streaming_update_check(sub, w=16)
+
+
+def q_compress_roundtrip(spark, sf_dir):
+    """Gorilla codec through the Spark operators: compress the hourly
+    turn-rate tier, decompress, verify bitwise equality per conv."""
+    from go_matrixprofile_spark.functions.compress_ops import (
+        compress_series,
+        decompress_series,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    s = S.turn_rate_series(t, 3600)
+    comp = compress_series(s, chunk_points=4096)
+    back = decompress_series(comp).select(
+        "conv_id", "metric", "bucket_s", F.col("value").alias("value_rt")
+    )
+    joined = s.join(back, ["conv_id", "metric", "bucket_s"], "full")
+    return joined.groupBy("conv_id", "metric").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(
+            F.when(
+                F.col("value").eqNullSafe(F.col("value_rt")), 0
+            ).otherwise(1)
+        ).alias("n_mismatch"),
+    )
+
+
+def q_mp_transcript_corpus(spark, sf_dir):
+    """Native-pipeline showcase: synthetic transcript corpus (north-rule
+    schema) → 1m text_len rollup → MPX profile. Corpus size is fixed
+    (deterministic) — independent of sf_dir."""
+    from go_matrixprofile_spark.sources import datagen
+
+    t = datagen.generate_transcripts(spark, 24, mega_every=0)
+    s = S.text_len_series(t)
+    tier = R.rollup_raw(s, "1m")
+    return matrix_profile(tier.withColumnRenamed("first", "value"), w=16, value_col="value")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events → transcripts → hourly turn-rate → gap-fill →
+    MPX(w=16) → top-3 discords per conversation, on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    filled = _hourly_rate_filled(spark, sf_dir)
+    _, discords, _ = discover(filled, w=16, k_discords=3)
+    return discords
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "series_text_len": q_series_text_len,
+        "series_latency": q_series_latency,
+        "series_turn_rate": q_series_turn_rate,
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h": q_rollup_1h,
+        "rollup_1d": q_rollup_1d,
+        "gapfill_locf": q_gapfill_locf,
+        "sessionize": q_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "knn_brute_cosine": q_knn_brute_cosine,
+        "knn_lsh_cosine": q_knn_lsh_cosine,
+        "lsh_signatures": q_lsh_signatures,
+        "cosine_near_dup": q_cosine_near_dup,
+        "mp_event_rate": q_mp_event_rate,
+        "mp_stomp_event_rate": q_mp_stomp_event_rate,
+        "mp_chunked": q_mp_chunked,
+        "mp_discords": q_mp_discords,
+        "mp_motifs": q_mp_motifs,
+        "mp_segments": q_mp_segments,
+        "kmp_event_types": q_kmp_event_types,
+        "pmp_event_rate": q_pmp_event_rate,
+        "mpdist_pairs": q_mpdist_pairs,
+        "update_equivalence": q_update_equivalence,
+        "compress_roundtrip": q_compress_roundtrip,
+        "mp_transcript_corpus": q_mp_transcript_corpus,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracle SQL
+
+_T = """
+transcripts AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         event_type AS role,
+         props AS text,
+         ts
+  FROM events
+)
+"""
+
+_SHINGLES = """
+shingles AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        FROM docs)
+  WHERE length(substr(text, CAST(i AS INT), 8)) > 0
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "series_text_len": f"""
+WITH {_T}
+SELECT conv_id, turn_idx, length(text) AS text_len FROM transcripts
+""",
+        "series_latency": f"""
+WITH {_T}
+SELECT conv_id,
+       ROUND(epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx), 6) AS latency_s
+FROM transcripts
+QUALIFY latency_s IS NOT NULL
+""",
+        "series_turn_rate": f"""
+WITH {_T}
+SELECT conv_id,
+       CAST(FLOOR(epoch(ts)/60)*60 AS BIGINT) AS bucket_s,
+       COUNT(*) AS turns
+FROM transcripts GROUP BY 1, 2
+""",
+        "rollup_1m": f"""
+WITH {_T},
+s AS (SELECT conv_id, ts, CAST(length(text) AS DOUBLE) AS v FROM transcripts)
+SELECT conv_id,
+       CAST(FLOOR(epoch(ts)/60)*60 AS BIGINT) AS bucket_s,
+       COUNT(*) AS cnt,
+       ROUND(SUM(v), 4) AS sum_v,
+       ROUND(MIN(v), 4) AS min_v,
+       ROUND(MAX(v), 4) AS max_v,
+       ROUND(arg_min(v, ts), 4) AS first_v,
+       ROUND(arg_max(v, ts), 4) AS last_v
+FROM s GROUP BY 1, 2
+""",
+        "rollup_1h": f"""
+WITH {_T},
+s AS (SELECT conv_id, ts, CAST(length(text) AS DOUBLE) AS v FROM transcripts)
+SELECT conv_id,
+       CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+       COUNT(*) AS cnt,
+       ROUND(SUM(v), 4) AS sum_v,
+       ROUND(MIN(v), 4) AS min_v,
+       ROUND(MAX(v), 4) AS max_v,
+       ROUND(arg_min(v, ts), 4) AS first_v,
+       ROUND(arg_max(v, ts), 4) AS last_v
+FROM s GROUP BY 1, 2
+""",
+        "rollup_1d": f"""
+WITH {_T},
+s AS (SELECT conv_id, ts, CAST(length(text) AS DOUBLE) AS v FROM transcripts)
+SELECT conv_id,
+       CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s,
+       COUNT(*) AS cnt,
+       ROUND(SUM(v), 4) AS sum_v,
+       ROUND(MIN(v), 4) AS min_v,
+       ROUND(MAX(v), 4) AS max_v,
+       ROUND(arg_min(v, ts), 4) AS first_v,
+       ROUND(arg_max(v, ts), 4) AS last_v
+FROM s GROUP BY 1, 2
+""",
+        "gapfill_locf": f"""
+WITH {_T},
+counts AS (
+  SELECT conv_id, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM transcripts GROUP BY 1, 2
+),
+bounds AS (SELECT conv_id, MIN(b) AS lo, MAX(b) AS hi FROM counts GROUP BY 1),
+grid AS (
+  SELECT conv_id, CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS b
+  FROM bounds
+),
+j AS (
+  SELECT g.conv_id, g.b, c.v
+  FROM grid g LEFT JOIN counts c ON c.conv_id = g.conv_id AND c.b = g.b
+)
+SELECT conv_id, b AS bucket_s,
+       ROUND(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY conv_id ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value,
+       (v IS NULL) AS filled
+FROM j
+""",
+        "sessionize": f"""
+WITH {_T},
+lagged AS (
+  SELECT conv_id, turn_idx, ts,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+  FROM transcripts
+),
+flagged AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+),
+sess AS (
+  SELECT conv_id, ts,
+         SUM(new_s) OVER (PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT conv_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_turns,
+       CAST(FLOOR(MIN(epoch(ts))) AS BIGINT) AS start_s,
+       CAST(FLOOR(MAX(epoch(ts))) AS BIGINT) AS end_s
+FROM sess GROUP BY 1, 2
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+        "dedup_ngram_jaccard": f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+{_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a_id
+JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 4) >= 0.2
+""",
+        "dedup_minhash_lsh": f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{_SHINGLES},
+h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv FROM shingles),
+mh AS (
+  SELECT doc_id, CAST(hi.i AS INT) AS h_idx,
+         MIN(((2*hi.i + 1) * hv + (7*hi.i + 3)) % 2147483647) AS minhash
+  FROM h, generate_series(0, 7) hi(i)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(h_idx // 2 AS INT) AS band,
+         string_agg(h_idx || ':' || minhash, '_' ORDER BY h_idx || ':' || minhash) AS band_sig
+  FROM mh GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+""",
+        "dedup_simhash": """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+bits AS (
+  SELECT doc_id, CAST(b.i AS INT) AS bit, SUM(((hv >> CAST(b.i AS INT)) & 1) * 2 - 1) AS s
+  FROM h, generate_series(0, 15) b(i)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+FROM bits GROUP BY 1
+""",
+        "text_quality": _TEXT_QUALITY_SQL,
+        "token_counts": r"""
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+""",
+        "lang_id": _LANG_ID_SQL,
+        "doc_fingerprint": r"""
+SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+        "compress_roundtrip": f"""
+WITH {_T},
+counts AS (
+  SELECT conv_id, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS b
+  FROM transcripts GROUP BY conv_id, b
+)
+SELECT conv_id, 'turn_rate' AS metric, COUNT(*) AS n_points,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM counts GROUP BY conv_id
+""",
+        "knn_brute_cosine": _KNN_SQL,
+        "knn_lsh_cosine": _KNN_LSH_SQL,
+        "lsh_signatures": _LSH_SIG_SQL,
+        "cosine_near_dup": _NEAR_DUP_SQL,
+    }
+
+
+_TEXT_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' the ', ''))) / 5 AS BIGINT)
+       + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' a ', ''))) / 3 AS BIGINT)
+       + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' of ', ''))) / 4 AS BIGINT)
+       + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' and ', ''))) / 5 AS BIGINT)
+       + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' to ', ''))) / 4 AS BIGINT)
+       + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' in ', ''))) / 4 AS BIGINT)
+       + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' is ', ''))) / 4 AS BIGINT)
+       + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' it ', ''))) / 4 AS BIGINT)
+         AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND((n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 4) AS avg_token_len,
+       ROUND(n_punct / CAST(n_chars AS DOUBLE), 4) AS punct_ratio,
+       ROUND(stop_hits / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+       ROUND(
+         least(n_tokens / 64.0, 1.0) * 0.4
+         + least((stop_hits / CAST(n_tokens AS DOUBLE)) * 4.0, 1.0) * 0.4
+         + (1.0 - least((n_punct / CAST(n_chars AS DOUBLE)) * 8.0, 1.0)) * 0.2, 4) AS quality
+FROM base
+"""
+
+_LANG_ID_SQL = """
+WITH hits AS (
+  SELECT doc_id,
+    CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' the ', ''))) / 5 AS BIGINT)
+  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' and ', ''))) / 5 AS BIGINT)
+  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' of ', ''))) / 4 AS BIGINT) AS h_en,
+    CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' el ', ''))) / 4 AS BIGINT)
+  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' la ', ''))) / 4 AS BIGINT)
+  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' que ', ''))) / 5 AS BIGINT) AS h_es,
+    CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' der ', ''))) / 5 AS BIGINT)
+  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' und ', ''))) / 5 AS BIGINT)
+  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' die ', ''))) / 5 AS BIGINT) AS h_de,
+    CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' le ', ''))) / 4 AS BIGINT)
+  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' les ', ''))) / 5 AS BIGINT)
+  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' des ', ''))) / 5 AS BIGINT) AS h_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de AND h_fr > 0 THEN 'fr'
+    WHEN h_es >= h_en AND h_es >= h_de AND h_es > 0 THEN 'es'
+    WHEN h_en >= h_de AND h_en > 0 THEN 'en'
+    WHEN h_de > 0 THEN 'de'
+    ELSE 'und'
+  END AS pred_lang
+FROM hits
+"""
+
+# embeddings exploded to (vec_id, i, x) rows — the portable base for all
+# embedding SQL (DuckDB's table-valued generate_series can't take lateral
+# column args, but unnest of the list form in a projection can)
+_DIMS = """
+dims AS (
+  SELECT vec_id, CAST(i AS INT) AS i,
+         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM dims GROUP BY 1)
+"""
+
+
+def _lsh_sigs_cte(n_planes: int) -> str:
+    """Random-hyperplane signature CTE (needs _DIMS in scope). Plane p's
+    component for 0-based dim d is md5("p_d")-derived ±1 — matching
+    operators/simsearch.lsh_signatures."""
+    return f"""
+plane_dots AS (
+  SELECT d.vec_id, p.p,
+         SUM(d.x * ((('0x' || substr(md5(p.p || '_' || (d.i - 1)), 1, 2))::INT % 2) * 2 - 1)) AS dot
+  FROM dims d, (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) p
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS INT) AS bucket
+  FROM plane_dots GROUP BY 1
+)
+"""
+
+
+_KNN_SQL = f"""
+WITH {_DIMS},
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.x * b.x) AS dot
+  FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < 8 AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, nid, ROUND(dot / (na.nrm * nb.nrm), 4) AS score
+  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid
+),
+ranked AS (
+  SELECT qid, nid, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid, CAST(rank AS INT) AS rank, nid, score FROM ranked WHERE rank <= 5
+"""
+
+_LSH_SIG_SQL = f"""
+WITH {_DIMS},
+{_lsh_sigs_cte(8)}
+SELECT vec_id, bucket FROM sigs
+"""
+
+_KNN_LSH_SQL = f"""
+WITH {_DIMS},
+{_lsh_sigs_cte(6)},
+cand AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < 8 AND a.vec_id <> b.vec_id
+),
+dots AS (
+  SELECT c.qid, c.nid, SUM(da.x * db.x) AS dot
+  FROM cand c
+  JOIN dims da ON da.vec_id = c.qid
+  JOIN dims db ON db.vec_id = c.nid AND db.i = da.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, nid, ROUND(dot / (na.nrm * nb.nrm), 4) AS score
+  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid
+),
+ranked AS (
+  SELECT qid, nid, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid, CAST(rank AS INT) AS rank, nid, score FROM ranked WHERE rank <= 5
+"""
+
+_NEAR_DUP_SQL = f"""
+WITH {_DIMS},
+{_lsh_sigs_cte(4)},
+cand AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.a_id, c.b_id, SUM(da.x * db.x) AS dot
+  FROM cand c
+  JOIN dims da ON da.vec_id = c.a_id
+  JOIN dims db ON db.vec_id = c.b_id AND db.i = da.i
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, ROUND(dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id
+WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.3
+"""

@@ -1,0 +1,185 @@
+"""Deduplication operators for document tables (training-data pipeline).
+
+Five strategies, scale-ranked:
+- exact           — md5 hash groupBy: one shuffle on the hash.
+- ngram_jaccard   — character-shingle set intersection via a self-join
+                    on shingle; exact Jaccard, quadratic in candidates —
+                    gate with a doc_id cap or feed it LSH candidates.
+- minhash_lsh     — k seeded min-hashes over shingles, banded; candidate
+                    pairs share a (band, signature) bucket: the scale
+                    path (shuffles: shingle explode, 2 aggregations,
+                    bucket self-join — all on bounded keys).
+- simhash         — sign-aggregated token-hash bits; near-dups share the
+                    16-bit signature (or differ in ≤k bits via joins on
+                    rotated keys — v1 ships equal-signature buckets).
+- embedding cosine near-dup lives in simsearch.py.
+
+Hash function: integer from the first 8 hex chars of md5 — identical in
+Spark (`conv(substring(md5(x),1,8),16,10)`) and DuckDB
+(`('0x' || substr(md5(x),1,8))::BIGINT`), so every operator here is
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MERSENNE = 2147483647  # 2^31-1, modulus for the affine min-hash family
+
+
+def _md5_int(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def shingles(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Distinct k-char shingles per document via sequence+explode
+    (built-in; no UDF)."""
+    return (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("text") - k + 1, F.lit(1))),
+                    lambda i: F.col("text").substr(i, F.lit(k)),
+                )
+            ).alias("shingle"),
+        )
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups: md5(text) → (hash, keeper, group size)."""
+    return (
+        documents.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, k: int = 8, threshold: float = 0.5, max_doc_id: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle."""
+    docs = documents if max_doc_id is None else documents.where(F.col("doc_id") < max_doc_id)
+    sh = shingles(docs, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, k_shingle: int = 8, n_hashes: int = 8
+) -> DataFrame:
+    """k seeded affine min-hashes over shingle hashes (long format:
+    doc_id, h_idx, minhash)."""
+    sh = shingles(documents, k_shingle)
+    h = _md5_int(F.col("shingle"))
+    rows = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("h_idx"),
+                        (((2 * i + 1) * h + (7 * i + 3)) % MERSENNE).alias("hv"),
+                    )
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("e"),
+    )
+    return rows.groupBy("doc_id", F.col("e.h_idx").alias("h_idx")).agg(
+        F.min("e.hv").alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    k_shingle: int = 8,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_doc_id: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs sharing any LSH band bucket."""
+    docs = documents if max_doc_id is None else documents.where(F.col("doc_id") < max_doc_id)
+    sig = minhash_signatures(docs, k_shingle, n_hashes)
+    bands = (
+        sig.withColumn("band", (F.col("h_idx") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "_", F.sort_array(F.collect_list(F.concat_ws(":", "h_idx", "minhash")))
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
+    """Sign-aggregated token-hash simhash signature per document.
+
+    For each bit b: sum over tokens of (bit b of md5-hash ? +1 : -1);
+    signature bit = 1 iff the sum > 0. Pure built-ins: explode tokens,
+    explode bits, conditional aggregate, bit-recombine.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    h = _md5_int(F.col("tok"))
+    bits = toks.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bit"),
+                        (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias("w"),
+                    )
+                    for b in range(n_bits)
+                ]
+            )
+        ).alias("e"),
+    )
+    per_bit = bits.groupBy("doc_id", F.col("e.bit").alias("bit")).agg(
+        F.sum("e.w").alias("s")
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

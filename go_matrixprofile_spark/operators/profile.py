@@ -30,7 +30,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from ..kernels.matrix_profile import MatrixProfile, MPOpts
+from ..kernels.kmp import KMP
+from ..kernels.matrix_profile import MatrixProfile, MPOpts, mpdist
+from ..kernels.pmp import PMP
 
 MP_SCHEMA = T.StructType(
     [
@@ -76,7 +78,7 @@ SEGMENT_SCHEMA = T.StructType(
 
 
 def _series_values(pdf: pd.DataFrame) -> np.ndarray:
-    return pdf.sort_values("bucket_ts")["value"].to_numpy(dtype=np.float64)
+    return pdf.sort_values("bucket_s")["value"].to_numpy(dtype=np.float64)
 
 
 def matrix_profile(
@@ -91,7 +93,7 @@ def matrix_profile(
     opts = opts or MPOpts()
     min_len = max(min_len or 0, w + 1)
     src = series.select(
-        "conv_id", "metric", "bucket_ts", F.col(value_col).alias("value")
+        "conv_id", "metric", "bucket_s", F.col(value_col).alias("value")
     )
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -132,11 +134,11 @@ def matrix_profile_chunked(
     """
     opts = opts or MPOpts(algorithm="mpx")
     src = series.select(
-        "conv_id", "metric", "bucket_ts", F.col(value_col).alias("value")
+        "conv_id", "metric", "bucket_s", F.col(value_col).alias("value")
     )
     assembled = src.groupBy("conv_id", "metric").agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("bucket_ts", "value"))),
+            F.array_sort(F.collect_list(F.struct("bucket_s", "value"))),
             lambda s: s["value"],
         ).alias("vals")
     )
@@ -226,7 +228,7 @@ def discover(
     the per-conv UDF; results explode into three tables.
     """
     opts = opts or MPOpts()
-    src = series.select("conv_id", "metric", "bucket_ts", "value")
+    src = series.select("conv_id", "metric", "bucket_s", "value")
 
     combined_schema = T.StructType(
         [
@@ -272,3 +274,203 @@ def discover(
         "conv_id", "metric", "w", F.element_at("idx", 1).alias("idx"), F.col("score").alias("cac")
     )
     return motifs, discords, segments
+
+
+def k_matrix_profile(series_multi: DataFrame, w: int) -> DataFrame:
+    """k-dimensional matrix profile (mSTOMP, kmp.go:161-212) per conv.
+
+    Input: (conv_id, dim string, bucket_s, value) — dims must share a
+    bucket grid (use gap-fill first). Output one profile row per
+    (conv_id, dim-level, offset): level d is the best d+1-of-k profile.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("level", T.IntegerType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("offset", T.IntegerType(), False),
+            T.StructField("mp", T.DoubleType(), True),
+            T.StructField("idx", T.LongType(), True),
+        ]
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (conv_id,) = key
+        mat = pdf.pivot_table(
+            index="dim", columns="bucket_s", values="value", aggfunc="first"
+        ).sort_index()
+        t = mat.to_numpy(dtype=np.float64)
+        if t.shape[1] <= 2 * w or np.isnan(t).any():
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        kmp = KMP(list(t), w).compute()
+        frames = []
+        for d in range(kmp.mp.shape[0]):
+            n = kmp.mp.shape[1]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": conv_id,
+                        "level": np.int32(d),
+                        "w": np.int32(w),
+                        "offset": np.arange(n, dtype=np.int32),
+                        "mp": kmp.mp[d],
+                        "idx": kmp.idx[d],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return series_multi.groupBy("conv_id").applyInPandas(kernel, schema)
+
+
+def pan_matrix_profile(
+    series: DataFrame, lower_m: int, upper_m: int, opts: MPOpts | None = None
+) -> DataFrame:
+    """Pan-MP per conv: one profile per window in [lower_m, upper_m]
+    (pmp.go:119-161). Output keyed by (conv_id, metric, w, offset)."""
+    opts = opts or MPOpts()
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("metric", T.StringType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("offset", T.IntegerType(), False),
+            T.StructField("mp", T.DoubleType(), True),
+            T.StructField("idx", T.LongType(), True),
+        ]
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id, metric = key
+        vals = _series_values(pdf)
+        if vals.size < upper_m + 2:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        p = PMP(vals).compute(lower_m, upper_m, opts)
+        frames = []
+        for level, w in enumerate(range(lower_m, upper_m + 1)):
+            if w not in p.pwindows:
+                continue
+            prof = p.pmp[level][: vals.size - w + 1]
+            idx = p.pidx[level][: vals.size - w + 1]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": conv_id,
+                        "metric": metric,
+                        "w": np.int32(w),
+                        "offset": np.arange(prof.size, dtype=np.int32),
+                        "mp": prof,
+                        "idx": idx,
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        return pd.concat(frames, ignore_index=True)
+
+    return series.select("conv_id", "metric", "bucket_s", "value").groupBy(
+        "conv_id", "metric"
+    ).applyInPandas(kernel, schema)
+
+
+def mpdist_pairs(
+    series: DataFrame, w: int, max_convs: int = 20, opts: MPOpts | None = None
+) -> DataFrame:
+    """Conversation-to-conversation MPDist similarity matrix
+    (MPDist, matrixprofile.go:243-338) over the first max_convs convs.
+
+    Series are assembled per conv (one aggregation), the small
+    conv-level table self-joins (broadcast — it is max_convs rows), and
+    each pair's MPDist runs as one Arrow-batched task.
+    """
+    opts = opts or MPOpts()
+    assembled = (
+        series.select("conv_id", "metric", "bucket_s", "value")
+        .groupBy("conv_id", "metric")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket_s", "value"))),
+                lambda s: s["value"],
+            ).alias("vals")
+        )
+        .where(F.size("vals") > w * 2)
+    )
+    ranked = assembled.orderBy("conv_id").limit(max_convs)
+    a = ranked.select(
+        F.col("conv_id").alias("a_id"), F.col("metric").alias("metric"), F.col("vals").alias("a_vals")
+    )
+    b = ranked.select(
+        F.col("conv_id").alias("b_id"), F.col("metric").alias("metric_b"), F.col("vals").alias("b_vals")
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a_id") < F.col("b_id")) & (F.col("metric") == F.col("metric_b")),
+    ).select("a_id", "b_id", "metric", "a_vals", "b_vals")
+
+    schema = T.StructType(
+        [
+            T.StructField("a_id", T.StringType(), False),
+            T.StructField("b_id", T.StringType(), False),
+            T.StructField("metric", T.StringType(), False),
+            T.StructField("mpdist", T.DoubleType(), True),
+        ]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                d = mpdist(
+                    np.asarray(row.a_vals, dtype=np.float64),
+                    np.asarray(row.b_vals, dtype=np.float64),
+                    w,
+                    opts,
+                )
+                out.append((row.a_id, row.b_id, row.metric, float(d)))
+            yield pd.DataFrame(out, columns=["a_id", "b_id", "metric", "mpdist"])
+
+    return pairs.mapInPandas(kernel, schema)
+
+
+def streaming_update_check(series: DataFrame, w: int, split: float = 0.8) -> DataFrame:
+    """Incremental Update ≡ full recompute evidence per conv
+    (the reference's own streaming contract, matrixprofile_test.go:706-762).
+
+    Splits each series at `split`, computes the prefix profile, streams
+    the suffix through update(), recomputes from scratch, and reports
+    the max abs deviation — the engine's incremental-batch path is
+    correct when max_abs_diff ≈ 0.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("metric", T.StringType(), False),
+            T.StructField("n", T.IntegerType(), False),
+            T.StructField("n_new", T.IntegerType(), False),
+            T.StructField("max_abs_diff", T.DoubleType(), True),
+        ]
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id, metric = key
+        vals = _series_values(pdf)
+        cut = int(vals.size * split)
+        if cut < w + 2 or vals.size - cut < 1:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        try:
+            inc = MatrixProfile(vals[:cut], None, w).compute(MPOpts(algorithm="stomp"))
+            inc.update(vals[cut:])
+            full = MatrixProfile(vals, None, w).compute(MPOpts(algorithm="stomp"))
+        except ValueError:
+            # constant query window: the reference's Update errors the
+            # same way (ZNormalize zero-std, util/util.go:33-35) — skip
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        diff = float(np.nanmax(np.abs(inc.mp - full.mp))) if full.mp.size else 0.0
+        return pd.DataFrame(
+            [(conv_id, metric, vals.size, vals.size - cut, diff)],
+            columns=["conv_id", "metric", "n", "n_new", "max_abs_diff"],
+        )
+
+    return series.select("conv_id", "metric", "bucket_s", "value").groupBy(
+        "conv_id", "metric"
+    ).applyInPandas(kernel, schema)

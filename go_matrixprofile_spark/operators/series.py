@@ -2,23 +2,28 @@
 
 Input: the north-rule transcript shape
   (conv_id string, turn_idx int, role string, text string, tool string,
-   ts timestamp)
+   ts timestamp | timestamp_ntz)
 Output: the long-format series table
-  series_raw(conv_id string, metric string, bucket_ts timestamp,
-             value double)
+  series_raw(conv_id string, metric string, bucket_s double, value double)
 with metric ∈ {text_len, inter_turn_latency_s, turn_rate}.
 
-All three derivations are pure built-in-function DataFrame plans
-(window functions + tumbling windows): Catalyst pushes column pruning
-into the scan and the only shuffle is the per-conv window sort /
-aggregation, which at cluster scale is hash-partitioned by conv_id.
-The reference has no relational layer at all (SURVEY.md §2.8); these
-are the engine's new ingest operators per the north rule.
+Time is normalized ONCE here to epoch seconds (`bucket_s`), read
+directly from the parquet's int64 microseconds: TIMESTAMP_NTZ-safe and
+independent of the session timezone, so results hash identically across
+engines. Every downstream operator (rollup, gap-fill, profile) is
+purely numeric.
+
+All derivations are built-in-function DataFrame plans (window functions
++ floor-division tumbling buckets): Catalyst pushes column pruning into
+the scan and the only shuffle is the per-conv window sort / hash
+aggregation. The reference has no relational layer at all
+(SURVEY.md §2.8); these are the engine's new ingest operators per the
+north rule.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -28,12 +33,33 @@ METRIC_LATENCY = "inter_turn_latency_s"
 METRIC_TURN_RATE = "turn_rate"
 
 
+def ts_seconds(col: str = "ts") -> Column:
+    """Epoch seconds (double, µs precision) from TIMESTAMP or
+    TIMESTAMP_NTZ, independent of session timezone.
+
+    NTZ wall-clock values are measured against the NTZ epoch;
+    instant timestamps cast through NTZ in the session zone (our own
+    sessions are pinned UTC in session.get_spark)."""
+    return (
+        F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+            f"CAST({col} AS TIMESTAMP_NTZ))"
+        )
+        / F.lit(1000000.0)
+    )
+
+
+def bucket_of(col: Column, seconds: int) -> Column:
+    """Tumbling bucket start (epoch seconds, long) via floor division."""
+    return (F.floor(col / seconds) * seconds).cast("long")
+
+
 def text_len_series(transcripts: DataFrame) -> DataFrame:
     """value = length(text) per turn, at raw turn timestamps."""
     return transcripts.select(
         "conv_id",
         F.lit(METRIC_TEXT_LEN).alias("metric"),
-        F.col("ts").alias("bucket_ts"),
+        ts_seconds().alias("bucket_s"),
         F.length("text").cast("double").alias("value"),
     )
 
@@ -45,32 +71,58 @@ def inter_turn_latency_series(transcripts: DataFrame) -> DataFrame:
     and is dropped (no latency defined).
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    sec = ts_seconds()
     return (
         transcripts.select(
             "conv_id",
             F.lit(METRIC_LATENCY).alias("metric"),
-            F.col("ts").alias("bucket_ts"),
-            (
-                F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
-            ).alias("value"),
+            sec.alias("bucket_s"),
+            (sec - F.lag(sec).over(w)).alias("value"),
         )
         .where(F.col("value").isNotNull())
     )
 
 
-def turn_rate_series(transcripts: DataFrame, bucket: str = "1 minute") -> DataFrame:
+def turn_rate_series(transcripts: DataFrame, bucket_seconds: int = 60) -> DataFrame:
     """value = turns per tumbling bucket (defined at bucket granularity)."""
     return (
         transcripts.groupBy(
-            "conv_id", F.window("ts", bucket).alias("win")
+            "conv_id", bucket_of(ts_seconds(), bucket_seconds).alias("bucket_s")
         )
         .agg(F.count(F.lit(1)).cast("double").alias("value"))
         .select(
             "conv_id",
             F.lit(METRIC_TURN_RATE).alias("metric"),
-            F.col("win.start").alias("bucket_ts"),
+            F.col("bucket_s").cast("double").alias("bucket_s"),
             "value",
         )
+    )
+
+
+def sessionize(transcripts: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
+    """Session windows: a new session starts when the inter-turn gap
+    exceeds gap_seconds. session_id = running count of session starts
+    (classic gaps-and-islands; one window sort per conv)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    sec = ts_seconds()
+    gap = sec - F.lag(sec).over(w)
+    flagged = transcripts.select(
+        "conv_id", "turn_idx", sec.alias("ts_s")
+    ).withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_s").over(w).isNull() | ((F.col("ts_s") - F.lag("ts_s").over(w)) > gap_seconds),
+            1,
+        ).otherwise(0),
+    )
+    run = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    with_sess = flagged.withColumn("session_id", F.sum("new_s").over(run))
+    return with_sess.groupBy("conv_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.floor(F.min("ts_s")).cast("long").alias("start_s"),
+        F.floor(F.max("ts_s")).cast("long").alias("end_s"),
     )
 
 

@@ -70,13 +70,13 @@ class TestDatagen:
 class TestSeries:
     def test_matches_pandas_reference(self, series_raw, transcripts_pd):
         got = (
-            series_raw.orderBy("conv_id", "metric", "bucket_ts")
+            series_raw.orderBy("conv_id", "metric", "bucket_s")
             .toPandas()
             .reset_index(drop=True)
         )
         want = (
             REF.derive_series_pandas(transcripts_pd)
-            .sort_values(["conv_id", "metric", "bucket_ts"])
+            .sort_values(["conv_id", "metric", "bucket_s"])
             .reset_index(drop=True)
         )
         assert len(got) == len(want)
@@ -88,7 +88,7 @@ class TestSeries:
                 (series_raw.conv_id == datagen.FIXTURE_CANONICAL)
                 & (series_raw.metric == "text_len")
             )
-            .orderBy("bucket_ts")
+            .orderBy("bucket_s")
             .toPandas()["value"]
             .tolist()
         )
@@ -103,14 +103,14 @@ class TestRollup:
         tiers = R.rollup_all_tiers(series_raw)
         got = (
             tiers[tier]
-            .orderBy("conv_id", "metric", "bucket_ts")
+            .orderBy("conv_id", "metric", "bucket_s")
             .toPandas()
             .reset_index(drop=True)
         )
         ref_series = REF.derive_series_pandas(transcripts_pd)
         want = (
             REF.rollup_pandas(ref_series, tier)
-            .sort_values(["conv_id", "metric", "bucket_ts"])
+            .sort_values(["conv_id", "metric", "bucket_s"])
             .reset_index(drop=True)
         )
         assert len(got) == len(want), f"{tier}: row count mismatch"
@@ -124,14 +124,14 @@ class TestRollup:
         t1m = R.rollup_raw(series_raw, "1m")
         got = (
             R.gap_fill_locf(t1m)
-            .orderBy("conv_id", "metric", "bucket_ts")
+            .orderBy("conv_id", "metric", "bucket_s")
             .toPandas()
             .reset_index(drop=True)
         )
         ref_series = REF.derive_series_pandas(transcripts_pd)
         want = (
             REF.gap_fill_locf_pandas(REF.rollup_pandas(ref_series, "1m"))
-            .sort_values(["conv_id", "metric", "bucket_ts"])
+            .sort_values(["conv_id", "metric", "bucket_s"])
             .reset_index(drop=True)
         )
         assert len(got) == len(want)
@@ -186,7 +186,7 @@ class TestMatrixProfileOperator:
         ref_series = REF.derive_series_pandas(transcripts_pd)
         lat = ref_series[ref_series.metric == "inter_turn_latency_s"]
         for conv, grp in lat.groupby("conv_id"):
-            vals = grp.sort_values("bucket_ts")["value"].to_numpy()
+            vals = grp.sort_values("bucket_s")["value"].to_numpy()
             sub = got[got.conv_id == conv]
             if vals.size < w + 1:
                 assert len(sub) == 0
