@@ -320,7 +320,17 @@ class MatrixProfile:
         self._merge(results, self.opts.euclidean)
 
     def _mpx_batch(self, idx, mu, sig, df, dg, batch_size):
-        """One diagonal batch of the self-join (matrixprofile.go:996-1054)."""
+        """One diagonal batch of the self-join (matrixprofile.go:996-1054).
+
+        Per-diagonal vectorized: each diagonal is one cumsum + a handful
+        of in-cache vector ops over the remaining offsets (the working
+        vectors are O(n) and L2-resident, which beats 2-D blocking —
+        measured: large blocks fall out of cache and run 5x slower).
+        Updates preserve Go's exact tie order: strict > in Pearson space
+        with diagonals ascending, and within a diagonal the
+        diagonal-side touch of a cell precedes its offset-side touch
+        (offset j-diag is visited before offset j).
+        """
         a, w = self.a, self.w
         excl = max(1, w // 4)
         len_a = a.size - w + 1
@@ -330,25 +340,42 @@ class MatrixProfile:
         mpidx = np.zeros(len_a, dtype=np.int64)
         remap = self.opts.remap_neg_corr
         first = a[:w] - mu[0]
-        for diag in range(idx + excl, idx + batch_size + excl):
-            if diag >= len_a:
-                break
-            c0 = np.dot(a[diag : diag + w] - mu[diag], first)
+        d_start = idx + excl
+        d_end = min(idx + batch_size + excl, len_a)
+        if d_start >= d_end:
+            if self.opts.euclidean:
+                mp = p2e(mp, w)
+            return mp, mpidx, None, None
+
+        max_o = len_a - d_start
+        t1 = np.empty(max_o)
+        t2 = np.empty(max_o)
+        for diag in range(d_start, d_end):
             omax = len_a - diag
-            # c evolves by +df[o]·dg[o+diag] + df[o+diag]·dg[o] per offset
-            c = c0 + np.cumsum(df[:omax] * dg[diag : diag + omax] + df[diag : diag + omax] * dg[:omax])
-            corr = c * (sig[:omax] * sig[diag : diag + omax])
+            c0 = np.dot(a[diag : diag + w] - mu[diag], first)
+            b1 = t1[:omax]
+            b2 = t2[:omax]
+            # c evolves by +df[o]*dg[o+diag] + df[o+diag]*dg[o] per offset
+            np.multiply(df[:omax], dg[diag : diag + omax], out=b1)
+            np.multiply(df[diag : diag + omax], dg[:omax], out=b2)
+            b1 += b2
+            np.cumsum(b1, out=b1)
+            b1 += c0
+            np.multiply(sig[:omax], sig[diag : diag + omax], out=b2)
+            b1 *= b2
             if remap:
-                corr = np.abs(corr)
+                np.abs(b1, out=b1)
             # diagonal-side update first (offset j-diag precedes offset j)
             seg = mp[diag : diag + omax]
-            m = corr > seg
-            seg[m] = corr[m]
-            mpidx[diag : diag + omax][m] = np.nonzero(m)[0]
+            upd = np.nonzero(b1 > seg)[0]
+            if upd.size:
+                seg[upd] = b1[upd]
+                mpidx[diag + upd] = upd
             # offset-side update
-            m = corr > mp[:omax]
-            mp[:omax][m] = corr[m]
-            mpidx[:omax][m] = np.nonzero(m)[0] + diag
+            upd = np.nonzero(b1 > mp[:omax])[0]
+            if upd.size:
+                mp[upd] = b1[upd]
+                mpidx[upd] = upd + diag
         if self.opts.euclidean:
             mp = p2e(mp, w)
         return mp, mpidx, None, None
