@@ -1,38 +1,82 @@
 """Benchmark: headline engine throughput + N→4N scaling evidence.
 
-Runs the flagship pipelines at $SPARK_GRAFT_SF_DIR (default
+Runs the engine's headline pipelines at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line:
-
-  {"metric": "...", "value": <headline>, "unit": "sec",
-   "queries": {...}, "sf": ..., "throughput": {...}, "scaling": {...}}
+line.
 
 Headline queries:
-  q_rollup   — transcript series → 1m→1h→1d tiers (rows/sec)
-  q_gapfill  — hourly LOCF gap-fill
-  q_mpx      — MPX matrix profile over per-conv gap-filled hourly rate
-               (plus the synthetic transcript corpus at fixed size)
-  q_dedup    — minhash-LSH near-dup candidates over documents
-  q_knn      — brute-force cosine top-k over embeddings
+  q_rollup    — transcript series → 1m→1h→1d tiers
+  q_gapfill   — hourly LOCF gap-fill
+  q_mpx       — MPX over per-conv gap-filled hourly rate (sf-scaled)
+  q_mpx_16k   — the reference's own benchmark workload (16,384-pt
+                step+noise series, m=128; curr_bench.txt
+                BenchmarkMpx/m128_p2_pts_16384 = 294 ms/op ≈ 3.4
+                series/s single-node) run as one series per task —
+                series/sec here is directly comparable
+  q_dedup     — minhash-LSH candidates over documents
+  q_knn       — brute-force cosine top-k over embeddings
 
-Scaling evidence (north rule, sandbox substitute per BASELINE.md): when
-SPARK_GRAFT_SCALING=1 (or run with --scaling), re-runs the MP+rollup
-job at local[8] and local[32] in separate Spark sessions on identical
-input and reports throughput at both plus
-efficiency = (T_8/T_32)/4.
+Scaling (north-rule evidence, sandbox substitute per BASELINE.md): with
+SPARK_GRAFT_SCALING=1 or --scaling, re-runs the CPU-heavy MP + rollup
+job at local[8] and local[32] in separate sessions on identical input
+and reports throughput at both plus efficiency = (T_8/T_32)/4.
+NOTE: this sandbox VM shows sporadic multi-x run-to-run CPU jitter;
+scaling numbers are medians over SPARK_GRAFT_SCALING_REPS runs
+(default 3).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
+N_SYNTH = int(os.environ.get("SPARK_GRAFT_SYNTH_SERIES", "64"))
+SYNTH_LEN = int(os.environ.get("SPARK_GRAFT_SYNTH_LEN", "16384"))
+SYNTH_W = 128
 
-def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
-    from pyspark.sql import functions as F
 
+def _synthetic_series(spark, n_series: int, n: int):
+    """Reference-bench series (step line + noise), generated executor-side."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("metric", T.StringType(), False),
+            T.StructField("bucket_s", T.DoubleType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+
+    def gen(batches):
+        from go_matrixprofile_spark.kernels import siggen
+
+        for pdf in batches:
+            for sid in pdf["id"]:
+                sig = siggen.add(
+                    siggen.append_sigs(
+                        siggen.line(0, 0, n // 2), siggen.line(0, 1, n - n // 2)
+                    ),
+                    siggen.noise(0.1, n, rng=int(sid)),
+                )
+                yield pd.DataFrame(
+                    {
+                        "conv_id": f"s{int(sid):04d}",
+                        "metric": "bench",
+                        "bucket_s": np.arange(n, dtype=np.float64),
+                        "value": sig,
+                    }
+                )
+
+    return spark.range(n_series).repartition(n_series).mapInPandas(gen, schema)
+
+
+def _bench_queries(spark, sf_dir: str, include_doc_queries: bool = True):
     from go_matrixprofile_spark.kernels.matrix_profile import MPOpts
     from go_matrixprofile_spark.operators import rollup as R
     from go_matrixprofile_spark.operators import series as S
@@ -45,8 +89,6 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     stats: dict[str, float] = {}
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     t = transcripts_from_events(events)
 
     # rollup: all three metrics, all three tiers
@@ -65,11 +107,10 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     rate = S.turn_rate_series(t, 3600)
     tier_1h = R.rollup_raw(rate, "1h")
     filled = R.gap_fill_locf(tier_1h, 3600, value_col="sum")
-    filled_rows = filled.count()
+    stats["gapfill_rows"] = filled.count()
     times["q_gapfill"] = time.time() - t0
-    stats["gapfill_rows"] = filled_rows
 
-    # matrix profile over the gap-filled hourly rate
+    # matrix profile over the gap-filled hourly rate (sf-scaled)
     t0 = time.time()
     prof = matrix_profile(filled, w=24, opts=MPOpts(algorithm="mpx"))
     mp_rows = prof.count()
@@ -77,43 +118,60 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     stats["mp_windows"] = mp_rows
     stats["mp_windows_per_sec"] = mp_rows / times["q_mpx"]
 
-    # dedup (minhash LSH candidates)
+    # reference workload: N_SYNTH series of 16,384 pts, m=128
     t0 = time.time()
-    pairs = minhash_lsh_pairs(documents, 8, 8, 2)
-    stats["dedup_pairs"] = pairs.count()
-    times["q_dedup"] = time.time() - t0
+    synth = _synthetic_series(spark, N_SYNTH, SYNTH_LEN)
+    sprof = matrix_profile(synth, w=SYNTH_W, opts=MPOpts(algorithm="mpx"))
+    swin = sprof.count()
+    times["q_mpx_16k"] = time.time() - t0
+    stats["ref_series_per_sec"] = N_SYNTH / times["q_mpx_16k"]
+    stats["ref_windows_per_sec"] = swin / times["q_mpx_16k"]
 
-    # similarity search
-    t0 = time.time()
-    knn = knn_brute_cosine(embeddings, n_queries=8, k=5)
-    stats["knn_rows"] = knn.count()
-    times["q_knn"] = time.time() - t0
+    if include_doc_queries:
+        documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.time()
+        stats["dedup_pairs"] = minhash_lsh_pairs(documents, 8, 8, 2).count()
+        times["q_dedup"] = time.time() - t0
+        t0 = time.time()
+        stats["knn_rows"] = knn_brute_cosine(embeddings, n_queries=8, k=5).count()
+        times["q_knn"] = time.time() - t0
 
     return times, stats
 
 
-def _session(cores: int | str, name: str):
+def _session(cores, name):
     from go_matrixprofile_spark.session import get_spark
 
     return get_spark(name, cores=cores)
 
 
-def _scaling_run(sf_dir: str) -> dict:
-    """Same MP+rollup job at local[8] vs local[32] (north-rule evidence)."""
+def _scaling_run(sf_dir: str, reps: int) -> dict:
+    """Same rollup+MP job at local[8] vs local[32] (north-rule evidence)."""
     out = {}
+    walls: dict[int, list[float]] = {8: [], 32: []}
+    tp: dict[int, dict] = {}
+    for rep in range(reps):
+        for cores in (8, 32):
+            spark = _session(cores, f"bench-scale-{cores}-{rep}")
+            t0 = time.time()
+            times, stats = _bench_queries(spark, sf_dir, include_doc_queries=False)
+            walls[cores].append(time.time() - t0)
+            tp[cores] = {
+                "rollup_points_per_sec": round(stats["rollup_points_per_sec"], 1),
+                "mp_windows_per_sec": round(stats["mp_windows_per_sec"], 1),
+                "ref_series_per_sec": round(stats["ref_series_per_sec"], 2),
+            }
+            spark.stop()
     for cores in (8, 32):
-        spark = _session(cores, f"bench-scale-{cores}")
-        t0 = time.time()
-        times, stats = _bench_queries(spark, sf_dir)
-        wall = time.time() - t0
+        med = statistics.median(walls[cores])
         out[f"local{cores}"] = {
-            "wall_sec": round(wall, 2),
-            "rollup_points_per_sec": round(stats["rollup_points_per_sec"], 1),
-            "mp_windows_per_sec": round(stats["mp_windows_per_sec"], 1),
+            "wall_sec_median": round(med, 2),
+            "wall_sec_all": [round(x, 2) for x in walls[cores]],
+            **tp[cores],
         }
-        spark.stop()
-    t8 = out["local8"]["wall_sec"]
-    t32 = out["local32"]["wall_sec"]
+    t8 = out["local8"]["wall_sec_median"]
+    t32 = out["local32"]["wall_sec_median"]
     out["scaling_efficiency"] = round((t8 / t32) / 4.0, 3)
     return out
 
@@ -123,6 +181,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING") == "1" or "--scaling" in sys.argv
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 
     spark = _session(cpus, "bench")
     t_total0 = time.time()
@@ -139,11 +198,17 @@ def main() -> None:
         "throughput": {
             "rollup_points_per_sec": round(stats["rollup_points_per_sec"], 1),
             "mp_windows_per_sec": round(stats["mp_windows_per_sec"], 1),
+            "ref_16k_series_per_sec": round(stats["ref_series_per_sec"], 2),
+            "ref_go_single_node_series_per_sec": 3.4,
         },
-        "stats": {k: int(v) for k, v in stats.items() if k.endswith(("rows", "pairs", "windows"))},
+        "stats": {
+            k: int(v)
+            for k, v in stats.items()
+            if k.endswith(("rows", "pairs", "windows"))
+        },
     }
     if do_scaling:
-        result["scaling"] = _scaling_run(sf_dir)
+        result["scaling"] = _scaling_run(sf_dir, reps)
     print(json.dumps(result))
 
 

@@ -88,30 +88,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_wide(
+    documents: DataFrame, k_shingle: int = 8, n_hashes: int = 8
+) -> DataFrame:
+    """k seeded affine min-hashes over shingle hashes, one column per
+    hash — a single map-side-combinable aggregation (one shuffle on
+    doc_id), no per-hash row explosion."""
+    sh = shingles(documents, k_shingle)
+    h = _md5_int(F.col("shingle"))
+    projected = sh.select(
+        "doc_id",
+        *[
+            (((2 * i + 1) * h + (7 * i + 3)) % MERSENNE).alias(f"hv{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return projected.groupBy("doc_id").agg(
+        *[F.min(f"hv{i}").alias(f"mh{i}") for i in range(n_hashes)]
+    )
+
+
 def minhash_signatures(
     documents: DataFrame, k_shingle: int = 8, n_hashes: int = 8
 ) -> DataFrame:
-    """k seeded affine min-hashes over shingle hashes (long format:
-    doc_id, h_idx, minhash)."""
-    sh = shingles(documents, k_shingle)
-    h = _md5_int(F.col("shingle"))
-    rows = sh.select(
+    """Long-format (doc_id, h_idx, minhash) view of minhash_wide."""
+    wide = minhash_wide(documents, k_shingle, n_hashes)
+    return wide.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("h_idx"),
-                        (((2 * i + 1) * h + (7 * i + 3)) % MERSENNE).alias("hv"),
-                    )
+                    F.struct(F.lit(i).alias("h_idx"), F.col(f"mh{i}").alias("minhash"))
                     for i in range(n_hashes)
                 ]
             )
         ).alias("e"),
-    )
-    return rows.groupBy("doc_id", F.col("e.h_idx").alias("h_idx")).agg(
-        F.min("e.hv").alias("minhash")
-    )
+    ).select("doc_id", "e.h_idx", "e.minhash")
 
 
 def minhash_lsh_pairs(
@@ -121,18 +133,29 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     max_doc_id: int | None = None,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs sharing any LSH band bucket."""
+    """Candidate near-duplicate pairs sharing any LSH band bucket.
+
+    Band signatures are string-assembled directly from the wide minhash
+    row (no second aggregation); the only joins are the band-bucket
+    self-join, whose keys are bounded by band cardinality.
+    """
     docs = documents if max_doc_id is None else documents.where(F.col("doc_id") < max_doc_id)
-    sig = minhash_signatures(docs, k_shingle, n_hashes)
-    bands = (
-        sig.withColumn("band", (F.col("h_idx") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "_", F.sort_array(F.collect_list(F.concat_ws(":", "h_idx", "minhash")))
-            ).alias("band_sig")
+    wide = minhash_wide(docs, k_shingle, n_hashes)
+    n_bands = n_hashes // band_size
+    band_structs = []
+    for b in range(n_bands):
+        # same signature text as sort_array(collect_list("h:min")) joined
+        # by "_": h_idx values inside one band are consecutive and
+        # single-digit, so lexicographic == numeric order
+        parts = []
+        for j in range(b * band_size, (b + 1) * band_size):
+            parts.append(F.concat_ws(":", F.lit(j), F.col(f"mh{j}")))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *parts).alias("band_sig"))
         )
-    )
+    bands = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("e")
+    ).select("doc_id", "e.band", "e.band_sig")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -158,28 +181,22 @@ def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     ).where(F.length("tok") > 0)
     h = _md5_int(F.col("tok"))
-    bits = toks.select(
+    # one wide aggregation: per-bit signed sums as n_bits columns (no
+    # per-bit row explosion, single shuffle on doc_id)
+    projected = toks.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("bit"),
-                        (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias("w"),
-                    )
-                    for b in range(n_bits)
-                ]
-            )
-        ).alias("e"),
+        *[
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"w{b}")
+            for b in range(n_bits)
+        ],
     )
-    per_bit = bits.groupBy("doc_id", F.col("e.bit").alias("bit")).agg(
-        F.sum("e.w").alias("s")
+    sums = projected.groupBy("doc_id").agg(
+        *[F.sum(f"w{b}").alias(f"s{b}") for b in range(n_bits)]
     )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    sig = None
+    for b in range(n_bits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return sums.select("doc_id", sig.alias("simhash"))

@@ -1,0 +1,149 @@
+"""Multimodal columns: images/audio/video as opaque binary + metadata.
+
+The engine treats media as `binary` payload columns with typed metadata
+structs, processed by Arrow-batched `mapInPandas` UDFs so bytes never
+cross a per-row Python boundary. The actual decoders (PIL/ffmpeg/etc.)
+are NOT available in this environment, so the decode step is a
+clearly-marked stub: `decode_stub=True` (default) derives deterministic
+fake features from the payload bytes (so plumbing, schemas, batch
+shapes, and partitioning are fully real and testable);
+`decode_stub=False` raises NotImplementedError at the decode site.
+
+Schemas:
+  media(doc_id long, kind string, payload binary,
+        meta struct<width:int, height:int, sample_rate:int, n_frames:int>)
+  features(doc_id long, kind string, n_bytes int, sha string,
+           feature array<float>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("sha", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media corpus (payload bytes from a seeded RNG)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.default_rng([seed, int(i)])
+                kind = ["image", "audio", "video"][int(i) % 3]
+                size = int(rng.integers(256, 4096))
+                payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+                meta = {
+                    "width": int(rng.integers(16, 512)) if kind != "audio" else None,
+                    "height": int(rng.integers(16, 512)) if kind != "audio" else None,
+                    "sample_rate": 16000 if kind == "audio" else None,
+                    "n_frames": int(rng.integers(1, 300)) if kind == "video" else None,
+                }
+                rows.append((int(i), kind, payload, meta))
+            yield pd.DataFrame(rows, columns=["doc_id", "kind", "payload", "meta"])
+
+    return spark.range(n).repartition(max(1, min(n, 32))).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, decode_stub: bool = True
+) -> DataFrame:
+    """Decode + feature-extract media payloads (Arrow-batched).
+
+    With decode_stub=True (this container has no image/audio codecs) the
+    "decoder" derives a deterministic dim-float signature from payload
+    byte statistics — the Spark-side plumbing (schema, batching,
+    partitioning, binary transport) is identical to a real decoder.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                buf = bytes(row.payload)
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real media decode requires PIL/ffmpeg, absent in this image"
+                    )
+                arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
+                # deterministic fake embedding: per-chunk byte means
+                chunks = np.array_split(arr, dim)
+                feat = np.array([c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32)
+                feat = (feat - feat.mean()) / (feat.std() + 1e-6)
+                out.append(
+                    (
+                        row.doc_id,
+                        row.kind,
+                        len(buf),
+                        hashlib.sha1(buf).hexdigest(),
+                        feat.tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "kind", "n_bytes", "sha", "feature"]
+            )
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emits one row per
+    sampled frame index with a per-frame byte slice (stubbed decode —
+    slices stand in for decoded frames)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_bytes", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                n_frames = row.meta["n_frames"] if row.meta is not None else None
+                if not n_frames:
+                    continue
+                buf = bytes(row.payload)
+                per = max(1, len(buf) // int(n_frames))
+                for f_idx in range(0, int(n_frames), every_n):
+                    rows.append((row.doc_id, f_idx, buf[f_idx * per : (f_idx + 1) * per]))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+
+    return media.where(F.col("kind") == "video").mapInPandas(kernel, schema)
