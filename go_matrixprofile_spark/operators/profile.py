@@ -81,6 +81,36 @@ def _series_values(pdf: pd.DataFrame) -> np.ndarray:
     return pdf.sort_values("bucket_s")["value"].to_numpy(dtype=np.float64)
 
 
+def cpu_partitions(df: DataFrame, factor: int = 3) -> int:
+    """Partition count for CPU-heavy kernel stages: a few tasks per core.
+
+    AQE sizes partitions by shuffle BYTES, which is the wrong currency
+    for stages whose cost is NumPy compute per row — it happily
+    coalesces a few-MB shuffle to ONE partition and serializes every
+    kernel (observed: identical MP wall-clock at local[4/16/32]).
+    An explicit numbered repartition is exempt from AQE coalescing."""
+    return df.sparkSession.sparkContext.defaultParallelism * factor
+
+
+def assemble_series(series: DataFrame, value_col: str = "value") -> DataFrame:
+    """Collapse a long-format series table to one array row per
+    (conv_id, metric), sorted by bucket.
+
+    This runs entirely JVM-side (shuffle + array_sort + transform), so
+    the per-conv exchange ships compact array rows instead of millions
+    of long-format rows through the Arrow/pandas boundary — measured
+    ~2-3x faster end-to-end for the MP operators. The pre-repartition
+    pins the exchange width for the downstream kernel stage (see
+    cpu_partitions)."""
+    src = series.repartition(cpu_partitions(series), "conv_id", "metric")
+    return src.groupBy("conv_id", "metric").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket_s", F.col(value_col).alias("v")))),
+            lambda s: s["v"],
+        ).alias("vals")
+    )
+
+
 def matrix_profile(
     series: DataFrame,
     w: int,
@@ -89,32 +119,45 @@ def matrix_profile(
     min_len: int | None = None,
 ) -> DataFrame:
     """Self-join MP per (conv_id, metric); series shorter than w+1 are
-    skipped (no profile defined)."""
-    opts = opts or MPOpts()
-    min_len = max(min_len or 0, w + 1)
-    src = series.select(
-        "conv_id", "metric", "bucket_s", F.col(value_col).alias("value")
+    skipped (no profile defined). Series are assembled to array rows
+    JVM-side; the NumPy kernel sees one row per conversation."""
+    return matrix_profile_assembled(
+        assemble_series(series, value_col), w, opts, min_len
     )
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        conv_id, metric = key
-        vals = _series_values(pdf)
-        if vals.size < min_len:
-            return pd.DataFrame(columns=[f.name for f in MP_SCHEMA.fields])
-        mp = MatrixProfile(vals, None, w).compute(opts)
-        n = mp.mp.size
-        return pd.DataFrame(
-            {
-                "conv_id": conv_id,
-                "metric": metric,
-                "w": np.int32(w),
-                "offset": np.arange(n, dtype=np.int32),
-                "mp": mp.mp,
-                "idx": mp.idx,
-            }
-        )
 
-    return src.groupBy("conv_id", "metric").applyInPandas(kernel, MP_SCHEMA)
+def matrix_profile_assembled(
+    assembled: DataFrame,
+    w: int,
+    opts: MPOpts | None = None,
+    min_len: int | None = None,
+) -> DataFrame:
+    """MP over pre-assembled array rows (conv_id, metric, vals) — the
+    entry point when series are already stored array-per-conv (e.g. a
+    materialized tier), skipping the assembly shuffle."""
+    opts = opts or MPOpts()
+    min_len = max(min_len or 0, w + 1)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                vals = np.asarray(row.vals, dtype=np.float64)
+                if vals.size < min_len:
+                    continue
+                mp = MatrixProfile(vals, None, w).compute(opts)
+                n = mp.mp.size
+                yield pd.DataFrame(
+                    {
+                        "conv_id": row.conv_id,
+                        "metric": row.metric,
+                        "w": np.int32(w),
+                        "offset": np.arange(n, dtype=np.int32),
+                        "mp": mp.mp,
+                        "idx": mp.idx,
+                    }
+                )
+
+    return assembled.mapInPandas(kernel, MP_SCHEMA)
 
 
 def matrix_profile_chunked(
@@ -144,7 +187,7 @@ def matrix_profile_chunked(
     )
     batched = assembled.withColumn(
         "batch", F.explode(F.sequence(F.lit(0), F.lit(n_batches - 1)))
-    ).repartition("conv_id", "metric", "batch")
+    ).repartition(cpu_partitions(series), "conv_id", "metric", "batch")
 
     part_schema = T.StructType(
         [
@@ -228,7 +271,7 @@ def discover(
     the per-conv UDF; results explode into three tables.
     """
     opts = opts or MPOpts()
-    src = series.select("conv_id", "metric", "bucket_s", "value")
+    assembled = assemble_series(series)
 
     combined_schema = T.StructType(
         [
@@ -242,28 +285,31 @@ def discover(
         ]
     )
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        conv_id, metric = key
-        vals = _series_values(pdf)
-        rows = []
-        if vals.size >= max(2 * w, w + 4):
-            mp = MatrixProfile(vals, None, w).compute(opts)
-            try:
-                motifs = mp.discover_motifs(k_motifs, r_motifs, 10, w // 2)
-            except ValueError:
-                motifs = []
-            for g, group in enumerate(motifs):
-                if group.idx:
-                    rows.append((conv_id, metric, w, "motif", g, group.idx, group.min_dist))
-            for r, d_idx in enumerate(mp.discover_discords(k_discords, w // 2)):
-                rows.append((conv_id, metric, w, "discord", r, [d_idx], float(mp.mp[d_idx])))
-            seg_idx, seg_val, _ = mp.discover_segments()
-            rows.append((conv_id, metric, w, "segment", 0, [seg_idx], seg_val))
-        return pd.DataFrame(
-            rows, columns=["conv_id", "metric", "w", "kind", "rank", "idx", "score"]
-        )
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                conv_id, metric = rec.conv_id, rec.metric
+                vals = np.asarray(rec.vals, dtype=np.float64)
+                if vals.size < max(2 * w, w + 4):
+                    continue
+                mp = MatrixProfile(vals, None, w).compute(opts)
+                try:
+                    motifs = mp.discover_motifs(k_motifs, r_motifs, 10, w // 2)
+                except ValueError:
+                    motifs = []
+                for g, group in enumerate(motifs):
+                    if group.idx:
+                        rows.append((conv_id, metric, w, "motif", g, group.idx, group.min_dist))
+                for r, d_idx in enumerate(mp.discover_discords(k_discords, w // 2)):
+                    rows.append((conv_id, metric, w, "discord", r, [d_idx], float(mp.mp[d_idx])))
+                seg_idx, seg_val, _ = mp.discover_segments()
+                rows.append((conv_id, metric, w, "segment", 0, [seg_idx], seg_val))
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "metric", "w", "kind", "rank", "idx", "score"]
+            )
 
-    combined = src.groupBy("conv_id", "metric").applyInPandas(kernel, combined_schema)
+    combined = assembled.mapInPandas(kernel, combined_schema)
     motifs = combined.where(F.col("kind") == "motif").select(
         "conv_id", "metric", "w", F.col("rank").alias("group"), "idx", F.col("score").alias("min_dist")
     )
@@ -320,7 +366,8 @@ def k_matrix_profile(series_multi: DataFrame, w: int) -> DataFrame:
             )
         return pd.concat(frames, ignore_index=True)
 
-    return series_multi.groupBy("conv_id").applyInPandas(kernel, schema)
+    src = series_multi.repartition(cpu_partitions(series_multi), "conv_id")
+    return src.groupBy("conv_id").applyInPandas(kernel, schema)
 
 
 def pan_matrix_profile(
@@ -368,9 +415,10 @@ def pan_matrix_profile(
             return pd.DataFrame(columns=[f.name for f in schema.fields])
         return pd.concat(frames, ignore_index=True)
 
-    return series.select("conv_id", "metric", "bucket_s", "value").groupBy(
-        "conv_id", "metric"
-    ).applyInPandas(kernel, schema)
+    src = series.select("conv_id", "metric", "bucket_s", "value").repartition(
+        cpu_partitions(series), "conv_id", "metric"
+    )
+    return src.groupBy("conv_id", "metric").applyInPandas(kernel, schema)
 
 
 def mpdist_pairs(
@@ -471,6 +519,7 @@ def streaming_update_check(series: DataFrame, w: int, split: float = 0.8) -> Dat
             columns=["conv_id", "metric", "n", "n_new", "max_abs_diff"],
         )
 
-    return series.select("conv_id", "metric", "bucket_s", "value").groupBy(
-        "conv_id", "metric"
-    ).applyInPandas(kernel, schema)
+    src = series.select("conv_id", "metric", "bucket_s", "value").repartition(
+        cpu_partitions(series), "conv_id", "metric"
+    )
+    return src.groupBy("conv_id", "metric").applyInPandas(kernel, schema)
