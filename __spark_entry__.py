@@ -280,6 +280,27 @@ def q_update_equivalence(spark, sf_dir):
     return streaming_update_check(sub, w=16)
 
 
+def q_mp_stomp_oracle(spark, sf_dir):
+    """ORACLE-CHECKED matrix profile: STOMP self-join (w=8) over each
+    conversation's first 40 inter-turn latencies, verified value-for-value
+    against a quadratic ANSI-SQL implementation of the z-normalized
+    distance (calculate_distance_profile, matrixprofile.go:489-508) with
+    the w/2 exclusion zone."""
+    from pyspark.sql.window import Window
+
+    lat = S.inter_turn_latency_series(_transcripts(spark, sf_dir))
+    w40 = Window.partitionBy("conv_id").orderBy("bucket_s")
+    first40 = lat.withColumn("rn", F.row_number().over(w40)).where("rn <= 40")
+    eligible = (
+        first40.groupBy("conv_id").agg(F.count("*").alias("n")).where("n = 40")
+    )
+    src = first40.join(eligible.select("conv_id"), "conv_id")
+    prof = matrix_profile(src, w=8, opts=MPOpts(algorithm="stomp"))
+    return prof.select(
+        "conv_id", F.col("offset").alias("j"), F.round("mp", 4).alias("mp")
+    )
+
+
 def q_compress_roundtrip(spark, sf_dir):
     """Gorilla codec through the Spark operators: compress the hourly
     turn-rate tier, decompress, verify bitwise equality per conv."""
@@ -358,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmp_event_rate": q_pmp_event_rate,
         "mpdist_pairs": q_mpdist_pairs,
         "update_equivalence": q_update_equivalence,
+        "mp_stomp_oracle": q_mp_stomp_oracle,
         "compress_roundtrip": q_compress_roundtrip,
         "mp_transcript_corpus": q_mp_transcript_corpus,
     }
@@ -560,6 +582,46 @@ FROM documents
         "doc_fingerprint": r"""
 SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
 FROM documents
+""",
+        "mp_stomp_oracle": f"""
+WITH {_T},
+lat AS (
+  SELECT conv_id, ts,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS v
+  FROM transcripts QUALIFY v IS NOT NULL
+),
+ranked AS (
+  SELECT conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts) - 1 AS INT) AS pos, v
+  FROM lat QUALIFY pos < 40
+),
+eligible AS (SELECT conv_id FROM ranked GROUP BY 1 HAVING COUNT(*) = 40),
+el AS (SELECT r.conv_id, r.pos, r.v FROM ranked r JOIN eligible e USING (conv_id)),
+offs AS (
+  SELECT conv_id, CAST(unnest(generate_series(0, 32)) AS INT) AS i FROM eligible
+),
+stats AS (
+  SELECT o.conv_id, o.i, AVG(e.v) AS mu, STDDEV_POP(e.v) AS sig
+  FROM offs o JOIN el e ON e.conv_id = o.conv_id AND e.pos >= o.i AND e.pos <= o.i + 7
+  GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, SUM(av.v * bv.v) AS dot
+  FROM offs a
+  JOIN offs b ON b.conv_id = a.conv_id
+  JOIN el av ON av.conv_id = a.conv_id AND av.pos >= a.i AND av.pos <= a.i + 7
+  JOIN el bv ON bv.conv_id = a.conv_id AND bv.pos = b.i + (av.pos - a.i)
+  WHERE (a.i - b.i > 4) OR (b.i - a.i >= 4)
+  GROUP BY 1, 2, 3
+),
+dists AS (
+  SELECT d.conv_id, d.j,
+         SQRT(2*8*ABS(1 - (d.dot - 8*si.mu*sj.mu)/(8*si.sig*sj.sig))) AS dist
+  FROM dots d
+  JOIN stats si ON si.conv_id = d.conv_id AND si.i = d.i
+  JOIN stats sj ON sj.conv_id = d.conv_id AND sj.i = d.j
+)
+SELECT conv_id, j, ROUND(MIN(dist), 4) AS mp FROM dists GROUP BY 1, 2
 """,
         "compress_roundtrip": f"""
 WITH {_T},
