@@ -35,6 +35,7 @@ from go_matrixprofile_spark.operators.profile import (
     discover,
     k_matrix_profile,
     matrix_profile,
+    matrix_profile_ab,
     matrix_profile_chunked,
     mpdist_pairs,
     pan_matrix_profile,
@@ -280,6 +281,27 @@ def q_update_equivalence(spark, sf_dir):
     return streaming_update_check(sub, w=16)
 
 
+def q_mp_ab_join(spark, sf_dir):
+    """AB-join per conversation: latency series joined against the
+    hourly turn-rate series — where does one signal's shape best match
+    the other's (both directions)."""
+    t = _transcripts(spark, sf_dir)
+    lat = S.inter_turn_latency_series(t).where(F.col("conv_id").cast("int") < 30)
+    rate = _hourly_rate_filled(spark, sf_dir).where(F.col("conv_id").cast("int") < 30)
+    return matrix_profile_ab(lat, rate, w=12).select(
+        "conv_id", "direction", "w", "offset", F.round("mp", 4).alias("mp"), "idx"
+    )
+
+
+def q_mp_av_discords(spark, sf_dir):
+    """Annotation-vector-corrected discovery: complexity AV deweights
+    flat regions before discord ranking (av/annotation_vector.go:53-80)."""
+    filled = _hourly_rate_filled(spark, sf_dir)
+    sub = filled.where(F.col("conv_id").cast("int") < 40)
+    _, discords, _ = discover(sub, w=24, av="complexity")
+    return discords
+
+
 def q_mp_stomp_oracle(spark, sf_dir):
     """ORACLE-CHECKED matrix profile: STOMP self-join (w=8) over each
     conversation's first 40 inter-turn latencies, verified value-for-value
@@ -379,6 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmp_event_rate": q_pmp_event_rate,
         "mpdist_pairs": q_mpdist_pairs,
         "update_equivalence": q_update_equivalence,
+        "mp_ab_join": q_mp_ab_join,
+        "mp_av_discords": q_mp_av_discords,
         "mp_stomp_oracle": q_mp_stomp_oracle,
         "compress_roundtrip": q_compress_roundtrip,
         "mp_transcript_corpus": q_mp_transcript_corpus,

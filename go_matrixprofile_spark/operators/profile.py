@@ -263,6 +263,7 @@ def discover(
     r_motifs: float = 2.0,
     k_discords: int = 3,
     opts: MPOpts | None = None,
+    av: str = "default",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Analyze pipeline per conv: MP → motifs + discords + segmentation.
 
@@ -293,7 +294,9 @@ def discover(
                 vals = np.asarray(rec.vals, dtype=np.float64)
                 if vals.size < max(2 * w, w + 4):
                     continue
-                mp = MatrixProfile(vals, None, w).compute(opts)
+                mp = MatrixProfile(vals, None, w)
+                mp.av = av
+                mp.compute(opts)
                 try:
                     motifs = mp.discover_motifs(k_motifs, r_motifs, 10, w // 2)
                 except ValueError:
@@ -523,3 +526,67 @@ def streaming_update_check(series: DataFrame, w: int, split: float = 0.8) -> Dat
         cpu_partitions(series), "conv_id", "metric"
     )
     return src.groupBy("conv_id", "metric").applyInPandas(kernel, schema)
+
+
+def matrix_profile_ab(
+    series_a: DataFrame,
+    series_b: DataFrame,
+    w: int,
+    opts: MPOpts | None = None,
+) -> DataFrame:
+    """AB-join matrix profile per conv_id: every window of A joined with
+    every window of B (mpxabBatch/mpxbaBatch, matrixprofile.go:1057-1198).
+
+    Inputs are long-format series; the two sides are assembled to array
+    rows and equi-joined on conv_id (broadcast when one side is small).
+    Output has both directions: direction='ab' rows are A-side (MP/Idx),
+    'ba' rows are B-side (MPB/IdxB).
+    """
+    opts = opts or MPOpts(algorithm="mpx")
+    a = assemble_series(series_a).select(
+        "conv_id", F.col("vals").alias("a_vals")
+    )
+    b = assemble_series(series_b).select(
+        "conv_id", F.col("vals").alias("b_vals")
+    )
+    joined = a.join(b, "conv_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("direction", T.StringType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("offset", T.IntegerType(), False),
+            T.StructField("mp", T.DoubleType(), True),
+            T.StructField("idx", T.LongType(), True),
+        ]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                av = np.asarray(row.a_vals, dtype=np.float64)
+                bv = np.asarray(row.b_vals, dtype=np.float64)
+                if av.size < w + 1 or bv.size < w + 1:
+                    continue
+                mp = MatrixProfile(av, bv, w).compute(opts)
+                for direction, prof, idx in (
+                    ("ab", mp.mp, mp.idx),
+                    ("ba", mp.mpb, mp.idxb),
+                ):
+                    if prof is None:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "conv_id": row.conv_id,
+                            "direction": direction,
+                            "w": np.int32(w),
+                            "offset": np.arange(prof.size, dtype=np.int32),
+                            "mp": prof,
+                            "idx": idx,
+                        }
+                    )
+
+    return joined.repartition(cpu_partitions(joined), "conv_id").mapInPandas(
+        kernel, schema
+    )
