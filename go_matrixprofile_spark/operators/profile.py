@@ -590,3 +590,35 @@ def matrix_profile_ab(
     return joined.repartition(cpu_partitions(joined), "conv_id").mapInPandas(
         kernel, schema
     )
+
+
+def matrix_profile_auto(
+    series: DataFrame,
+    w: int,
+    opts: MPOpts | None = None,
+    value_col: str = "value",
+    chunk_threshold: int = 8192,
+    n_batches: int = 8,
+) -> DataFrame:
+    """Skew-aware MP: routes each conversation by series length.
+
+    Mega-threads are the skew hazard of transcript corpora (power-law
+    lengths): one giant conversation as a single task stalls the stage.
+    Short series (< chunk_threshold points) run whole-series-per-task;
+    long ones run as chunked diagonal batches (one task per
+    DiagBatchingScheme batch) merged by min_by — so the longest
+    conversation contributes n_batches balanced tasks instead of one
+    straggler.
+    """
+    opts = opts or MPOpts(algorithm="mpx")
+    src = series.select(
+        "conv_id", "metric", "bucket_s", F.col(value_col).alias("value")
+    )
+    lengths = src.groupBy("conv_id", "metric").agg(F.count("*").alias("n"))
+    short_keys = lengths.where(F.col("n") < chunk_threshold).select("conv_id", "metric")
+    long_keys = lengths.where(F.col("n") >= chunk_threshold).select("conv_id", "metric")
+    short = src.join(F.broadcast(short_keys), ["conv_id", "metric"], "left_semi")
+    long = src.join(F.broadcast(long_keys), ["conv_id", "metric"], "left_semi")
+    prof_short = matrix_profile(short, w, opts, min_len=None)
+    prof_long = matrix_profile_chunked(long, w, n_batches=n_batches, opts=opts)
+    return prof_short.unionByName(prof_long)

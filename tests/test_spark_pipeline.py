@@ -226,3 +226,34 @@ class TestMatrixProfileOperator:
         assert len(d) > 0 and len(s) > 0
         assert set(m.columns) == {"conv_id", "metric", "w", "group", "idx", "min_dist"}
         assert (d["rank"] >= 0).all()
+
+
+class TestAutoRouting:
+    def test_mixed_lengths_route_and_agree(self, spark):
+        """matrix_profile_auto: short series via whole-series tasks, a
+        'mega-thread' via chunked diagonals — values equal either way."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from go_matrixprofile_spark.operators.profile import (
+            matrix_profile,
+            matrix_profile_auto,
+        )
+        from go_matrixprofile_spark.kernels import siggen
+
+        rows = []
+        for conv, n in [("small-a", 300), ("small-b", 420), ("mega", 3000)]:
+            sig = siggen.add(siggen.line(0, 0, n), siggen.noise(1.0, n, rng=hash(conv) % 100))
+            rows.append(
+                pd.DataFrame(
+                    {"conv_id": conv, "metric": "m", "bucket_s": np.arange(n, dtype=float), "value": sig}
+                )
+            )
+        df = spark.createDataFrame(pd.concat(rows))
+        auto = (
+            matrix_profile_auto(df, w=16, chunk_threshold=1000, n_batches=4)
+            .orderBy("conv_id", "offset")
+            .toPandas()
+        )
+        whole = matrix_profile(df, w=16).orderBy("conv_id", "offset").toPandas()
+        assert len(auto) == len(whole)
+        np.testing.assert_allclose(auto["mp"].to_numpy(), whole["mp"].to_numpy(), atol=1e-7)
