@@ -154,7 +154,7 @@ def _session(cores, name):
     return get_spark(name, cores=cores)
 
 
-SCALE_SERIES = int(os.environ.get("SPARK_GRAFT_SCALE_SERIES", "4096"))
+SCALE_SERIES = int(os.environ.get("SPARK_GRAFT_SCALE_SERIES", "2048"))
 SCALE_LEN = int(os.environ.get("SPARK_GRAFT_SCALE_LEN", "4096"))
 SCALE_CORPUS_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "4000"))
 SCALE_CORPUS = os.path.join(
