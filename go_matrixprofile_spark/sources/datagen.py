@@ -40,6 +40,14 @@ EPOCH_START = np.datetime64("2024-01-01T00:00:00")
 CANONICAL_SERIES = [0, 99, 100, 0, 0, 98, 100, 0, 0, 96, 100, 0]
 FIXTURE_CANONICAL = "conv-fixture-canonical"
 
+# golden motif-discovery series (matrixprofile_test.go:801-878) ×1000
+# (z-normalized profiles are scale-invariant, so the golden motif groups
+# [[0,14],[0,7],[3,10]] and MinDists carry over exactly)
+MOTIF_SERIES = [
+    0, 0, 560, 990, 970, 750, 0, 0, 0, 430, 980, 990, 650, 0, 0, 0, 600, 970, 965, 800, 0, 0, 0,
+]
+FIXTURE_MOTIF = "conv-fixture-motif"
+
 _VOCAB = (
     "the quick brown fox jumps over lazy dog spark shuffle partition "
     "profile motif discord window rollup tier bucket latency turn tool "
@@ -119,20 +127,30 @@ def gen_conv_pdf(conv_index: int, seed: int = SEED, mega_every: int = 500) -> pd
     )
 
 
-def fixture_conv_pdf() -> pd.DataFrame:
-    """Planted conversation whose text_len series equals the canonical
-    golden series ×100 (z-norm-invariant), one turn per minute."""
-    n = len(CANONICAL_SERIES)
+def _planted_conv(conv_id: str, series: list[int]) -> pd.DataFrame:
+    n = len(series)
     ts = EPOCH_START + np.arange(n) * np.timedelta64(60, "s")
     return pd.DataFrame(
         {
-            "conv_id": FIXTURE_CANONICAL,
+            "conv_id": conv_id,
             "turn_idx": np.arange(n, dtype=np.int32),
             "role": np.where(np.arange(n) % 2 == 0, "user", "assistant"),
-            "text": ["x" * max(v, 0) for v in CANONICAL_SERIES],
+            "text": ["x" * max(v, 0) for v in series],
             "tool": [None] * n,
             "ts": pd.Series(ts),
         }
+    )
+
+
+def fixture_conv_pdf() -> pd.DataFrame:
+    """Planted conversations whose text_len series equal the Go golden
+    series (scaled to ints; z-norm-invariant), one turn per minute."""
+    return pd.concat(
+        [
+            _planted_conv(FIXTURE_CANONICAL, CANONICAL_SERIES),
+            _planted_conv(FIXTURE_MOTIF, MOTIF_SERIES),
+        ],
+        ignore_index=True,
     )
 
 

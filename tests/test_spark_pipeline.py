@@ -257,3 +257,27 @@ class TestAutoRouting:
         whole = matrix_profile(df, w=16).orderBy("conv_id", "offset").toPandas()
         assert len(auto) == len(whole)
         np.testing.assert_allclose(auto["mp"].to_numpy(), whole["mp"].to_numpy(), atol=1e-7)
+
+
+class TestGoldenDiscoveryThroughSpark:
+    def test_motif_fixture_end_to_end(self, spark, series_raw):
+        """Planted golden motif conversation through the Spark discover
+        operator reproduces the Go golden groups and MinDists
+        (matrixprofile_test.go:801-878; scale-invariant)."""
+        from pyspark.sql import functions as F
+        from go_matrixprofile_spark.kernels import MPOpts
+
+        src = series_raw.where(
+            (series_raw.conv_id == datagen.FIXTURE_MOTIF)
+            & (series_raw.metric == "text_len")
+        )
+        motifs, discords, _ = discover(
+            src, w=7, k_motifs=3, r_motifs=2.0, opts=MPOpts(algorithm="stomp")
+        )
+        m = motifs.orderBy("group").toPandas()
+        assert [list(x) for x in m["idx"]] == [[0, 14], [0, 7], [3, 10]]
+        np.testing.assert_allclose(
+            m["min_dist"].to_numpy(),
+            [0.1459619228330262, 0.3352336136782056, 0.46369664551715467],
+            atol=1e-7,
+        )
