@@ -237,31 +237,58 @@ class MatrixProfile:
         self._merge(results, euclidean=True)
 
     def _stomp_batch(self, idx, batch_size):
-        if idx * batch_size + self.w > self.a.size:
-            return None
         a, b, w = self.a, self.b, self.w
+        if idx * batch_size + w > a.size:
+            return None
         start = idx * batch_size
+        n, n_prof = self.n, self.n - w + 1
         dot = cross_correlate(a[start : start + w], b, self._bf)
         profile = calculate_distance_profile(
             dot, start, w, self._a_mean, self._a_std, self._b_mean, self._b_std, self.self_join
         )
         mp = profile.copy()
         mpidx = np.full(profile.size, start, dtype=np.int64)
+        # preallocated buffers for the O(1)-per-cell row recurrence
+        # (dot[j] = dot[j-1] - B[j-1]·A[row-1] + B[j+w-1]·A[row+w-1],
+        # matrixprofile.go:851-862) and the distance conversion
+        dot2 = np.empty(n_prof)
+        t1 = np.empty(n_prof)
+        t2 = np.empty(n_prof)
+        diff = np.empty(n_prof - 1)
+        tb = np.empty(n_prof - 1)
+        b_head = b[: n - w]
+        b_tail = b[w:n]
+        wbm = float(w) * self._b_mean
+        wbs = float(w) * self._b_std
+        two_w = 2.0 * float(w)
+        zone = w // 2
         for i in range(1, batch_size):
             row = start + i
             if row - 1 >= a.size or row + w - 1 >= a.size:
                 break
-            # dot[j] = dot[j-1] - B[j-1]·A[row-1] + B[j+w-1]·A[row+w-1]
-            dot[1:] = dot[:-1] - b[: self.n - w] * a[row - 1] + b[w : self.n] * a[row + w - 1]
-            # first cell recomputed fresh: only valid for later positions,
-            # and the cache shortcut breaks on AB-joins (matrixprofile.go:855-862)
-            dot[0] = np.dot(a[row : row + w], b[:w])
-            profile = calculate_distance_profile(
-                dot, row, w, self._a_mean, self._a_std, self._b_mean, self._b_std, self.self_join
-            )
-            m = profile <= mp
-            mp[m] = profile[m]
-            mpidx[m] = row
+            np.multiply(b_tail, a[row + w - 1], out=diff)
+            np.multiply(b_head, a[row - 1], out=tb)
+            diff -= tb
+            np.add(dot[:-1], diff, out=dot2[1:])
+            # first cell recomputed fresh (cache shortcut breaks on AB-joins)
+            dot2[0] = np.dot(a[row : row + w], b[:w])
+            dot, dot2 = dot2, dot
+            # distance: sqrt(2w·|1 - (dot - w·μB·μA_i)/(w·σB·σA_i)|)
+            np.multiply(wbm, self._a_mean[row], out=t1)
+            np.subtract(dot, t1, out=t1)
+            np.multiply(wbs, self._a_std[row], out=t2)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t1 /= t2
+                np.subtract(1.0, t1, out=t1)
+                np.abs(t1, out=t1)
+                t1 *= two_w
+                np.sqrt(t1, out=t1)
+            if self.self_join:
+                apply_exclusion_zone(t1, row, zone)
+            upd = np.nonzero(t1 <= mp)[0]
+            if upd.size:
+                mp[upd] = t1[upd]
+                mpidx[upd] = row
         return mp, mpidx, None, None
 
     # MPX — diagonal-traversal Pearson-space join (matrixprofile.go:878-1198)
