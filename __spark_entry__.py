@@ -592,7 +592,8 @@ bits AS (
   GROUP BY 1, 2
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM bits GROUP BY 1
 """,
         "text_quality": _TEXT_QUALITY_SQL,

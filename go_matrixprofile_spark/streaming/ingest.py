@@ -86,7 +86,15 @@ def stream_rollup_1m(
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        # replace affected buckets: idempotent per (conv, metric, bucket)
+        # MERGE semantics on plain parquet: each micro-batch appends its
+        # (conv, metric, bucket) rows stamped with batch_id; a late turn
+        # re-emits its window in a later batch, and ``read_tier`` keeps only
+        # the row with the highest batch_id per key — exactly one live row
+        # per (conv_id, metric, bucket_s), equal to the batch rollup.  In
+        # production this is ``MERGE INTO tier USING batch ON keys`` against
+        # Iceberg; the append+dedup split is the storage-portable
+        # equivalent and keeps each micro-batch write O(batch), never
+        # O(tier).  Call ``compact_tier`` periodically to fold history.
         (
             batch_df.withColumn(
                 "bucket_s",
@@ -96,6 +104,7 @@ def stream_rollup_1m(
                 / 1000000.0,
             )
             .drop("bucket")
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
             .write.mode("append")
             .parquet(output_dir)
         )
@@ -105,3 +114,40 @@ def stream_rollup_1m(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(upsert)
     )
+
+
+def read_tier(spark: SparkSession, tier_dir: str) -> DataFrame:
+    """Live view of a streamed tier: latest write wins per key.
+
+    Window dedup keyed on (conv_id, metric, bucket_s) ordered by batch_id
+    desc — the read-side half of the upsert contract (one shuffle on the
+    tier key, which is also the natural downstream partitioning).
+    """
+    from pyspark.sql import Window
+
+    raw = spark.read.parquet(tier_dir)
+    w = Window.partitionBy("conv_id", "metric", "bucket_s").orderBy(
+        F.col("batch_id").desc()
+    )
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn", "batch_id")
+    )
+
+
+def compact_tier(spark: SparkSession, tier_dir: str) -> None:
+    """Fold upsert history: rewrite the tier with only the live rows.
+
+    Stand-in for Iceberg's rewrite_data_files; run between streaming
+    catch-up windows, never concurrently with the writer.
+    """
+    import shutil
+
+    live = read_tier(spark, tier_dir).withColumn(
+        "batch_id", F.lit(-1).cast("long")
+    )
+    tmp = tier_dir.rstrip("/") + ".compact"
+    live.write.mode("overwrite").parquet(tmp)  # distributed, never collected
+    shutil.rmtree(tier_dir)
+    shutil.move(tmp, tier_dir)

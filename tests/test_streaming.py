@@ -45,7 +45,7 @@ class TestStructuredStreaming:
     def test_stream_matches_batch_tier(self, spark, tmp_path):
         from go_matrixprofile_spark.operators.rollup import rollup_raw
         from go_matrixprofile_spark.operators.series import turn_rate_series
-        from go_matrixprofile_spark.streaming.ingest import stream_rollup_1m
+        from go_matrixprofile_spark.streaming.ingest import read_tier, stream_rollup_1m
 
         in_dir = str(tmp_path / "in")
         out_dir = str(tmp_path / "out")
@@ -57,9 +57,7 @@ class TestStructuredStreaming:
         q.awaitTermination(120)
 
         got = (
-            spark.read.parquet(out_dir)
-            .groupBy("conv_id", "metric", "bucket_s")
-            .agg(F.max("value").alias("value"))  # idempotent upsert result
+            read_tier(spark, out_dir)
             .orderBy("conv_id", "bucket_s")
             .toPandas()
         )
@@ -76,3 +74,81 @@ class TestStructuredStreaming:
         np.testing.assert_allclose(
             got["bucket_s"].to_numpy(), want["bucket_s"].to_numpy(), atol=1e-6
         )
+
+    def test_late_data_upserts_not_appends(self, spark, tmp_path):
+        """A late turn inside the watermark re-emits its bucket; the tier
+        must hold exactly one live row per (conv, metric, bucket) equal to
+        the batch rollup — the reference's update≡recompute contract
+        (matrixprofile_test.go:706-762) applied to the tier."""
+        from go_matrixprofile_spark.operators.series import turn_rate_series
+        from go_matrixprofile_spark.streaming.ingest import (
+            compact_tier,
+            read_tier,
+            stream_rollup_1m,
+        )
+
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        corpus = datagen.generate_transcripts(spark, 4, mega_every=0, plant_fixtures=False)
+        corpus.write.mode("overwrite").parquet(in_dir)
+
+        # batch 1: everything except one turn that SHARES its 1-minute
+        # bucket with another turn (so batch 2 re-emits an existing bucket
+        # with a new count — a true update, not a new key)
+        bucketed = corpus.withColumn(
+            "b", F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 60)
+        )
+        shared = (
+            bucketed.groupBy("conv_id", "b")
+            .count()
+            .where("count >= 2")
+            .orderBy("conv_id", "b")
+            .limit(1)
+        )
+        late = (
+            bucketed.join(shared.select("conv_id", "b"), ["conv_id", "b"])
+            .orderBy("turn_idx")
+            .limit(1)
+            .drop("b")
+        )
+        assert late.count() == 1
+        first = corpus.subtract(late)
+        first.write.mode("overwrite").parquet(in_dir + "_b1")
+        sink = stream_rollup_1m(spark, in_dir + "_b1", ckpt, out_dir, watermark="2 days")
+        q = sink.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        # batch 2: the late turn arrives (well inside the 2-day watermark)
+        late.write.mode("append").parquet(in_dir + "_b1")
+        q = sink.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        def check():
+            got = read_tier(spark, out_dir).orderBy("conv_id", "bucket_s").toPandas()
+            want = (
+                turn_rate_series(spark.read.parquet(in_dir), 60)
+                .select(
+                    "conv_id",
+                    "metric",
+                    F.col("bucket_s").cast("double").alias("bucket_s"),
+                    "value",
+                )
+                .orderBy("conv_id", "bucket_s")
+                .toPandas()
+            )
+            # exactly one live row per key
+            assert not got.duplicated(["conv_id", "metric", "bucket_s"]).any()
+            assert len(got) == len(want)
+            np.testing.assert_allclose(
+                got["value"].to_numpy(), want["value"].to_numpy(), atol=1e-9
+            )
+
+        check()
+        # raw tier really did append history for the re-emitted bucket
+        raw = spark.read.parquet(out_dir)
+        assert raw.count() > read_tier(spark, out_dir).count()
+        # compaction folds history without changing the live view
+        compact_tier(spark, out_dir)
+        assert spark.read.parquet(out_dir).count() == read_tier(spark, out_dir).count()
+        check()

@@ -74,9 +74,23 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
+        # Emulate the driver's stricter value hash: an int64 column on one
+        # side vs float64 on the other hashes differently ("52958" vs
+        # "52958.0") even when values are numerically equal.  Flag it before
+        # the lenient float normalization below can hide it.
+        dtype_mismatch = []
+        for c in set(sdf.columns) & set(odf.columns):
+            si = pd.api.types.is_integer_dtype(sdf[c])
+            oi = pd.api.types.is_integer_dtype(odf[c])
+            sf_ = pd.api.types.is_float_dtype(sdf[c])
+            of_ = pd.api.types.is_float_dtype(odf[c])
+            if (si and of_) or (sf_ and oi):
+                dtype_mismatch.append(f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
         a, b = normalize(sdf), normalize(odf)
         status = "ok  "
-        if len(a) != len(b):
+        if dtype_mismatch:
+            status = f"FAIL(dtype {dtype_mismatch})"
+        elif len(a) != len(b):
             status = "FAIL(rows)"
         elif list(a.columns) != list(b.columns):
             status = f"FAIL(cols {list(a.columns)} vs {list(b.columns)})"
