@@ -302,12 +302,10 @@ def q_mp_av_discords(spark, sf_dir):
     return discords
 
 
-def q_mp_stomp_oracle(spark, sf_dir):
-    """ORACLE-CHECKED matrix profile: STOMP self-join (w=8) over each
-    conversation's first 40 inter-turn latencies, verified value-for-value
-    against a quadratic ANSI-SQL implementation of the z-normalized
-    distance (calculate_distance_profile, matrixprofile.go:489-508) with
-    the w/2 exclusion zone."""
+def _latency40(spark, sf_dir):
+    """Bounded oracle input: each conversation's first 40 inter-turn
+    latencies (only conversations with >= 40), so the quadratic ANSI-SQL
+    twin stays cheap (33 offsets per conv at w=8)."""
     from pyspark.sql.window import Window
 
     lat = S.inter_turn_latency_series(_transcripts(spark, sf_dir))
@@ -316,10 +314,90 @@ def q_mp_stomp_oracle(spark, sf_dir):
     eligible = (
         first40.groupBy("conv_id").agg(F.count("*").alias("n")).where("n = 40")
     )
-    src = first40.join(eligible.select("conv_id"), "conv_id")
-    prof = matrix_profile(src, w=8, opts=MPOpts(algorithm="stomp"))
+    return first40.join(eligible.select("conv_id"), "conv_id").drop("rn", "n")
+
+
+def q_mp_stomp_oracle(spark, sf_dir):
+    """ORACLE-CHECKED matrix profile: STOMP self-join (w=8) over each
+    conversation's first 40 inter-turn latencies, verified value-for-value
+    against a quadratic ANSI-SQL implementation of the z-normalized
+    distance (calculate_distance_profile, matrixprofile.go:489-508) with
+    the w/2 exclusion zone."""
+    prof = matrix_profile(_latency40(spark, sf_dir), w=8, opts=MPOpts(algorithm="stomp"))
     return prof.select(
         "conv_id", F.col("offset").alias("j"), F.round("mp", 4).alias("mp")
+    )
+
+
+def q_mp_discords_oracle(spark, sf_dir):
+    """ORACLE-CHECKED greedy top-3 discords (DiscoverDiscords,
+    matrixprofile.go:1338-1374): argmax with w/2 exclusion-zone
+    suppression over the engine-computed profile.
+
+    The profile is quantized to 4 decimals BEFORE the greedy and ties
+    break on the lower offset, because mutual-nearest-neighbor pairs
+    have bit-identical mp at both arc ends — 1e-15 arithmetic noise
+    would otherwise flip the argmax between engines. The raw-float
+    kernel greedy (mp.discover_discords) is pinned separately by the Go
+    golden fixtures (matrixprofile_test.go:764-799) in pytest; this
+    query value-checks the distributed top-k-with-suppression plan."""
+    from pyspark.sql.window import Window
+
+    prof = matrix_profile(_latency40(spark, sf_dir), w=8, opts=MPOpts(algorithm="stomp"))
+    cur = (
+        prof.select("conv_id", "offset", F.round("mp", 4).alias("mp"))
+        .where("mp > 0 AND NOT isnan(mp)")
+        .persist()  # tiny (33 rows/conv); each greedy pick re-reads it
+    )
+    order = Window.partitionBy("conv_id").orderBy(
+        F.col("mp").desc(), F.col("offset").asc()
+    )
+    picks = []
+    for r in range(3):
+        top = (
+            cur.withColumn("rn", F.row_number().over(order))
+            .where("rn = 1")
+            .select(
+                "conv_id",
+                F.lit(r).cast("int").alias("rank"),
+                F.col("offset").alias("idx"),
+            )
+        )
+        picks.append(top)
+        if r < 2:
+            cur = (
+                cur.join(
+                    F.broadcast(top.select("conv_id", F.col("idx").alias("dx"))),
+                    "conv_id",
+                )
+                .where("offset < dx - 4 OR offset >= dx + 4")
+                .select("conv_id", "offset", "mp")
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_mp_segments_oracle(spark, sf_dir):
+    """ORACLE-CHECKED FLUSS segmentation (DiscoverSegments,
+    matrixprofile.go:1382-1403): arc curve = +1/-1 interval marks +
+    prefix sum over the profile index, CAC = min(1, histo/iac) with
+    pinned ends — all ANSI-SQL-expressible (arcCurve, discover.go:18-36)."""
+    _, _, segments = discover(
+        _latency40(spark, sf_dir), w=8, opts=MPOpts(algorithm="stomp")
+    )
+    return segments.select("conv_id", "idx", F.round("cac", 4).alias("cac"))
+
+
+def q_mpdist_oracle(spark, sf_dir):
+    """ORACLE-CHECKED MPDist (matrixprofile.go:243-338) between the first
+    8 eligible conversations' bounded latency series: k-th smallest
+    (k = 0.05*(na+nb), 0-indexed) of the concatenated AB/BA profiles —
+    in SQL, row_number = k+1 over the union of the two quadratic
+    min-profiles."""
+    return mpdist_pairs(_latency40(spark, sf_dir), w=8, max_convs=8).select(
+        "a_id", "b_id", F.round("mpdist", 4).alias("mpdist")
     )
 
 
@@ -404,6 +482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp_ab_join": q_mp_ab_join,
         "mp_av_discords": q_mp_av_discords,
         "mp_stomp_oracle": q_mp_stomp_oracle,
+        "mp_discords_oracle": q_mp_discords_oracle,
+        "mp_segments_oracle": q_mp_segments_oracle,
+        "mpdist_oracle": q_mpdist_oracle,
         "compress_roundtrip": q_compress_roundtrip,
         "mp_transcript_corpus": q_mp_transcript_corpus,
     }
@@ -420,6 +501,54 @@ transcripts AS (
          ts
   FROM events
 )
+"""
+
+# Shared CTE fragments for the matrix-profile oracle family: each
+# conversation's first 40 inter-turn latencies (conversations with >= 40
+# only), per-offset sliding stats at w=8 (33 offsets).
+_LAT40 = f"""{_T},
+lat AS (
+  SELECT conv_id, ts,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS v
+  FROM transcripts QUALIFY v IS NOT NULL
+),
+ranked AS (
+  SELECT conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts) - 1 AS INT) AS pos, v
+  FROM lat QUALIFY pos < 40
+),
+eligible AS (SELECT conv_id FROM ranked GROUP BY 1 HAVING COUNT(*) = 40),
+el AS (SELECT r.conv_id, r.pos, r.v FROM ranked r JOIN eligible e USING (conv_id)),
+offs AS (
+  SELECT conv_id, CAST(unnest(generate_series(0, 32)) AS INT) AS i FROM eligible
+),
+stats AS (
+  SELECT o.conv_id, o.i, AVG(e.v) AS mu, STDDEV_POP(e.v) AS sig
+  FROM offs o JOIN el e ON e.conv_id = o.conv_id AND e.pos >= o.i AND e.pos <= o.i + 7
+  GROUP BY 1, 2
+)"""
+
+# Quadratic self-join distance matrix with STOMP's w/2 exclusion zone
+# (distanceProfile, matrixprofile.go:470-484: row i excludes
+# j in [i-4, i+3]); prof = min over i per offset j.
+_SELF_DISTS = """
+dots AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, SUM(av.v * bv.v) AS dot
+  FROM offs a
+  JOIN offs b ON b.conv_id = a.conv_id
+  JOIN el av ON av.conv_id = a.conv_id AND av.pos >= a.i AND av.pos <= a.i + 7
+  JOIN el bv ON bv.conv_id = a.conv_id AND bv.pos = b.i + (av.pos - a.i)
+  WHERE (a.i - b.i > 4) OR (b.i - a.i >= 4)
+  GROUP BY 1, 2, 3
+),
+dists AS (
+  SELECT d.conv_id, d.i, d.j,
+         SQRT(2*8*ABS(1 - (d.dot - 8*si.mu*sj.mu)/(8*si.sig*sj.sig))) AS dist
+  FROM dots d
+  JOIN stats si ON si.conv_id = d.conv_id AND si.i = d.i
+  JOIN stats sj ON sj.conv_id = d.conv_id AND sj.i = d.j
+),
+prof AS (SELECT conv_id, j, MIN(dist) AS mp FROM dists GROUP BY 1, 2)
 """
 
 _SHINGLES = """
@@ -609,44 +738,100 @@ SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
 FROM documents
 """,
         "mp_stomp_oracle": f"""
-WITH {_T},
-lat AS (
-  SELECT conv_id, ts,
-         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS v
-  FROM transcripts QUALIFY v IS NOT NULL
+WITH {_LAT40},
+{_SELF_DISTS}
+SELECT conv_id, j, ROUND(mp, 4) AS mp FROM prof
+""",
+        "mp_discords_oracle": f"""
+WITH {_LAT40},
+{_SELF_DISTS},
+rprof AS (SELECT conv_id, j, ROUND(mp, 4) AS mp FROM prof),
+d1 AS (
+  SELECT conv_id, j, mp FROM rprof WHERE mp > 0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY mp DESC, j ASC) = 1
 ),
-ranked AS (
-  SELECT conv_id,
-         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts) - 1 AS INT) AS pos, v
-  FROM lat QUALIFY pos < 40
+p2 AS (
+  SELECT p.conv_id, p.j, p.mp FROM rprof p JOIN d1 ON d1.conv_id = p.conv_id
+  WHERE p.j < d1.j - 4 OR p.j >= d1.j + 4
 ),
-eligible AS (SELECT conv_id FROM ranked GROUP BY 1 HAVING COUNT(*) = 40),
-el AS (SELECT r.conv_id, r.pos, r.v FROM ranked r JOIN eligible e USING (conv_id)),
-offs AS (
-  SELECT conv_id, CAST(unnest(generate_series(0, 32)) AS INT) AS i FROM eligible
+d2 AS (
+  SELECT conv_id, j, mp FROM p2 WHERE mp > 0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY mp DESC, j ASC) = 1
 ),
-stats AS (
-  SELECT o.conv_id, o.i, AVG(e.v) AS mu, STDDEV_POP(e.v) AS sig
-  FROM offs o JOIN el e ON e.conv_id = o.conv_id AND e.pos >= o.i AND e.pos <= o.i + 7
-  GROUP BY 1, 2
+p3 AS (
+  SELECT p.conv_id, p.j, p.mp FROM p2 p JOIN d2 ON d2.conv_id = p.conv_id
+  WHERE p.j < d2.j - 4 OR p.j >= d2.j + 4
+),
+d3 AS (
+  SELECT conv_id, j, mp FROM p3 WHERE mp > 0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY mp DESC, j ASC) = 1
+)
+SELECT conv_id, CAST(0 AS INT) AS "rank", CAST(j AS INT) AS idx FROM d1
+UNION ALL SELECT conv_id, CAST(1 AS INT), CAST(j AS INT) FROM d2
+UNION ALL SELECT conv_id, CAST(2 AS INT), CAST(j AS INT) FROM d3
+""",
+        "mp_segments_oracle": f"""
+WITH {_LAT40},
+{_SELF_DISTS},
+prof_idx AS (
+  SELECT conv_id, j, i FROM dists
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id, j ORDER BY dist ASC, i DESC) = 1
+),
+marks AS (
+  SELECT conv_id, LEAST(j, i) + 1 AS pos, 1 AS delta FROM prof_idx WHERE ABS(i - j) >= 2
+  UNION ALL
+  SELECT conv_id, GREATEST(j, i) AS pos, -1 AS delta FROM prof_idx WHERE ABS(i - j) >= 2
+),
+mark_agg AS (SELECT conv_id, pos, SUM(delta) AS d FROM marks GROUP BY 1, 2),
+positions AS (
+  SELECT conv_id, CAST(unnest(generate_series(0, 32)) AS INT) AS x FROM eligible
+),
+histo AS (
+  SELECT p.conv_id, p.x,
+         SUM(COALESCE(m.d, 0)) OVER (PARTITION BY p.conv_id ORDER BY p.x) AS h
+  FROM positions p LEFT JOIN mark_agg m ON m.conv_id = p.conv_id AND m.pos = p.x
+),
+cac AS (
+  SELECT conv_id, x,
+         CASE WHEN x = 0 OR x = 32 THEN 1.0
+              ELSE LEAST(1.0, h / (-POWER(SQRT(2.0/33)*(x - 33/2.0), 2) + 33/2.0))
+         END AS c
+  FROM histo
+)
+SELECT conv_id, CAST(x AS INT) AS idx, ROUND(c, 4) AS cac FROM cac
+QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY c ASC, x ASC) = 1
+""",
+        "mpdist_oracle": f"""
+WITH {_LAT40},
+conv8 AS (SELECT conv_id FROM eligible ORDER BY conv_id LIMIT 8),
+prs AS (
+  SELECT a.conv_id AS a_id, b.conv_id AS b_id
+  FROM conv8 a JOIN conv8 b ON a.conv_id < b.conv_id
 ),
 dots AS (
-  SELECT a.conv_id, a.i AS i, b.i AS j, SUM(av.v * bv.v) AS dot
-  FROM offs a
-  JOIN offs b ON b.conv_id = a.conv_id
-  JOIN el av ON av.conv_id = a.conv_id AND av.pos >= a.i AND av.pos <= a.i + 7
-  JOIN el bv ON bv.conv_id = a.conv_id AND bv.pos = b.i + (av.pos - a.i)
-  WHERE (a.i - b.i > 4) OR (b.i - a.i >= 4)
-  GROUP BY 1, 2, 3
+  SELECT p.a_id, p.b_id, oa.i AS i, ob.i AS j, SUM(av.v * bv.v) AS dot
+  FROM prs p
+  JOIN offs oa ON oa.conv_id = p.a_id
+  JOIN offs ob ON ob.conv_id = p.b_id
+  JOIN el av ON av.conv_id = p.a_id AND av.pos >= oa.i AND av.pos <= oa.i + 7
+  JOIN el bv ON bv.conv_id = p.b_id AND bv.pos = ob.i + (av.pos - oa.i)
+  GROUP BY 1, 2, 3, 4
 ),
 dists AS (
-  SELECT d.conv_id, d.j,
-         SQRT(2*8*ABS(1 - (d.dot - 8*si.mu*sj.mu)/(8*si.sig*sj.sig))) AS dist
+  SELECT d.a_id, d.b_id, d.i, d.j,
+         SQRT(2*8*ABS(1 - (d.dot - 8*sa.mu*sb.mu)/(8*sa.sig*sb.sig))) AS dist
   FROM dots d
-  JOIN stats si ON si.conv_id = d.conv_id AND si.i = d.i
-  JOIN stats sj ON sj.conv_id = d.conv_id AND sj.i = d.j
+  JOIN stats sa ON sa.conv_id = d.a_id AND sa.i = d.i
+  JOIN stats sb ON sb.conv_id = d.b_id AND sb.i = d.j
+),
+mpab AS (SELECT a_id, b_id, i AS o, MIN(dist) AS v FROM dists GROUP BY 1, 2, 3),
+mpba AS (SELECT a_id, b_id, j AS o, MIN(dist) AS v FROM dists GROUP BY 1, 2, 3),
+allv AS (
+  SELECT a_id, b_id, v FROM mpab
+  UNION ALL SELECT a_id, b_id, v FROM mpba
 )
-SELECT conv_id, j, ROUND(MIN(dist), 4) AS mp FROM dists GROUP BY 1, 2
+SELECT a_id, b_id, ROUND(v, 4) AS mpdist FROM allv
+QUALIFY ROW_NUMBER() OVER (PARTITION BY a_id, b_id ORDER BY v ASC) = 5
 """,
         "compress_roundtrip": f"""
 WITH {_T},
