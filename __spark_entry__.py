@@ -181,7 +181,9 @@ def q_knn_brute_cosine(spark, sf_dir):
 
 
 def q_knn_lsh_cosine(spark, sf_dir):
-    return SS.knn_lsh_cosine(_embeddings(spark, sf_dir), n_queries=8, k=5, n_planes=6)
+    return SS.knn_lsh_cosine(
+        _embeddings(spark, sf_dir), n_queries=8, k=5, n_tables=4, band_size=4
+    )
 
 
 def q_lsh_signatures(spark, sf_dir):
@@ -189,7 +191,9 @@ def q_lsh_signatures(spark, sf_dir):
 
 
 def q_cosine_near_dup(spark, sf_dir):
-    return SS.cosine_near_dup_pairs(_embeddings(spark, sf_dir), threshold=0.3, n_planes=4)
+    return SS.cosine_near_dup_pairs(
+        _embeddings(spark, sf_dir), threshold=0.3, n_tables=4, band_size=4
+    )
 
 
 # ------------------------- matrix-profile queries (rows-only, Go-fixture-pinned)
@@ -675,10 +679,19 @@ FROM documents GROUP BY 1
 WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
 {_SHINGLES},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+rare AS (
+  SELECT doc_id, shingle FROM shingles
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 10000
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
-  FROM shingles a JOIN shingles b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.a_id
+  JOIN shingles sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
   GROUP BY 1, 2
 )
 SELECT i.a_id, i.b_id,
@@ -965,12 +978,34 @@ WITH {_DIMS},
 SELECT vec_id, bucket FROM sigs
 """
 
+def _lsh_band_sigs_cte(n_tables: int, band_size: int) -> str:
+    """Banded multi-table signature CTE (needs _DIMS in scope): table
+    t = p // band_size, bucket = the band's sign bits — matching
+    operators/simsearch.lsh_band_buckets."""
+    n_planes = n_tables * band_size
+    return f"""
+plane_dots AS (
+  SELECT d.vec_id, p.p,
+         SUM(d.x * ((('0x' || substr(md5(p.p || '_' || (d.i - 1)), 1, 2))::INT % 2) * 2 - 1)) AS dot
+  FROM dims d, (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) p
+  GROUP BY 1, 2
+),
+bsigs AS (
+  SELECT vec_id, CAST(p // {band_size} AS INT) AS tbl,
+         CAST(SUM(CASE WHEN dot > 0 THEN CAST(POWER(2, p % {band_size}) AS BIGINT) ELSE 0 END) AS INT) AS bucket
+  FROM plane_dots GROUP BY 1, 2
+)
+"""
+
+
 _KNN_LSH_SQL = f"""
 WITH {_DIMS},
-{_lsh_sigs_cte(6)},
+{_lsh_band_sigs_cte(4, 4)},
 cand AS (
-  SELECT a.vec_id AS qid, b.vec_id AS nid
-  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < 8 AND a.vec_id <> b.vec_id
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+  FROM bsigs a JOIN bsigs b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket
+   AND a.vec_id < 8 AND a.vec_id <> b.vec_id
 ),
 dots AS (
   SELECT c.qid, c.nid, SUM(da.x * db.x) AS dot
@@ -993,10 +1028,11 @@ SELECT qid, CAST(rank AS INT) AS rank, nid, score FROM ranked WHERE rank <= 5
 
 _NEAR_DUP_SQL = f"""
 WITH {_DIMS},
-{_lsh_sigs_cte(4)},
+{_lsh_band_sigs_cte(4, 4)},
 cand AS (
-  SELECT a.vec_id AS a_id, b.vec_id AS b_id
-  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bsigs a JOIN bsigs b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
 dots AS (
   SELECT c.a_id, c.b_id, SUM(da.x * db.x) AS dot

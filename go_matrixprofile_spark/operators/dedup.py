@@ -23,6 +23,7 @@ oracle-checkable.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window as W
 
 MERSENNE = 2147483647  # 2^31-1, modulus for the affine min-hash family
 
@@ -31,22 +32,23 @@ def _md5_int(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def shingles(documents: DataFrame, k: int = 8) -> DataFrame:
-    """Distinct k-char shingles per document via sequence+explode
-    (built-in; no UDF)."""
-    return (
-        documents.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.length("text") - k + 1, F.lit(1))),
-                    lambda i: F.col("text").substr(i, F.lit(k)),
-                )
-            ).alias("shingle"),
-        )
-        .where(F.length("shingle") > 0)
-        .distinct()
-    )
+def shingles(documents: DataFrame, k: int = 8, distinct: bool = True) -> DataFrame:
+    """k-char shingles per document via sequence+explode (built-in; no UDF).
+
+    distinct=True (set semantics) is required for Jaccard; min-hash is
+    insensitive to duplicates (min over a multiset == min over its set),
+    so the min-hash path passes distinct=False and skips a full shuffle
+    of the exploded shingle table."""
+    sh = documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - k + 1, F.lit(1))),
+                lambda i: F.col("text").substr(i, F.lit(k)),
+            )
+        ).alias("shingle"),
+    ).where(F.length("shingle") > 0)
+    return sh.distinct() if distinct else sh
 
 
 def dedup_exact(documents: DataFrame) -> DataFrame:
@@ -59,17 +61,46 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, k: int = 8, threshold: float = 0.5, max_doc_id: int | None = None
+    documents: DataFrame,
+    k: int = 8,
+    threshold: float = 0.5,
+    max_doc_id: int | None = None,
+    max_df: int = 10000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle."""
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 rare shingle.
+
+    Two phases, both hot-key-safe at corpus scale:
+
+    1. Candidates come from the self-join of shingles with document
+       frequency ≤ max_df only — a stop-shingle appearing in d docs
+       would otherwise contribute O(d²) join rows (the classic
+       quadratic blowup). Contract: a pair is reported only if it
+       shares at least one rare shingle; pairs whose overlap is
+       entirely stop-shingles are (deliberately) not candidates.
+    2. The exact intersection is computed per CANDIDATE pair by
+       joining the full shingle sets through the pair list — shuffle
+       keys are (a_id) then (b_id, shingle), never a raw hot shingle —
+       so the reported Jaccard itself is exact, over ALL shingles.
+    """
     docs = documents if max_doc_id is None else documents.where(F.col("doc_id") < max_doc_id)
-    sh = shingles(docs, k).cache()
+    sh = shingles(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    rare = (
+        sh.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
+        .where(F.col("df") <= max_df)
+        .drop("df")
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "shingle"), ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_shingles").alias("na"))
@@ -93,10 +124,15 @@ def minhash_wide(
 ) -> DataFrame:
     """k seeded affine min-hashes over shingle hashes, one column per
     hash — a single map-side-combinable aggregation (one shuffle on
-    doc_id), no per-hash row explosion."""
-    sh = shingles(documents, k_shingle)
-    h = _md5_int(F.col("shingle"))
-    projected = sh.select(
+    doc_id), no per-hash row explosion. Duplicate shingles are kept
+    (min is duplicate-insensitive), skipping the distinct() shuffle."""
+    sh = shingles(documents, k_shingle, distinct=False)
+    # stage the md5 through its own select so it is evaluated ONCE per
+    # shingle; inlining it into all n_hashes projections re-evaluates
+    # the hash n_hashes times (no CSE across aggregate expressions)
+    hashed = sh.select("doc_id", _md5_int(F.col("shingle")).alias("hv"))
+    h = F.col("hv")
+    projected = hashed.select(
         "doc_id",
         *[
             (((2 * i + 1) * h + (7 * i + 3)) % MERSENNE).alias(f"hv{i}")

@@ -92,23 +92,105 @@ def lsh_signatures(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     return embeddings.select("vec_id", sig.cast("int").alias("bucket"))
 
 
-def knn_lsh_cosine(
-    embeddings: DataFrame, n_queries: int = 8, k: int = 5, n_planes: int = 6
+def lsh_band_buckets(
+    embeddings: DataFrame, n_tables: int = 4, band_size: int = 4
 ) -> DataFrame:
-    """ANN: brute-force only within the query's LSH bucket."""
+    """Banded multi-table LSH buckets: (vec_id, tbl, bucket).
+
+    Table t owns planes [t*band_size, (t+1)*band_size); its bucket is
+    the band's sign-bit signature. Multi-table = recall (a near pair
+    only needs to agree on ONE full band); band_size = block size
+    control (2^band_size buckets per table). Global plane index p uses
+    the same md5("p_d") ±1 construction as lsh_signatures, so the SQL
+    oracle shares one plane definition.
+
+    At corpus scale this replaces single-table bucketing whose
+    2^n_planes buckets produce quadratic per-bucket blocks; here each
+    table's bucket count and each bucket's size are independently
+    tunable, and `_cap_buckets` bounds the worst block.
+    """
+    e = F.col("embedding")
+
+    def _plane_comp(p):
+        # NB: the lambda must take exactly ONE arg — F.transform passes
+        # the element index as a second arg when the function is binary,
+        # which would silently shadow the plane id
+        return F.transform(
+            F.sequence(F.lit(0), F.size(e) - 1),
+            lambda d: (
+                F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(p), d)), 1, 2), 16, 10)
+                .cast("int")
+                % 2
+                * 2
+                - 1
+            ).cast("double"),
+        )
+
+    tables = []
+    for t in range(n_tables):
+        sig = None
+        for j in range(band_size):
+            comp = _plane_comp(t * band_size + j)
+            dot = F.aggregate(
+                F.zip_with(e, comp, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * (2**j)
+            sig = bit if sig is None else sig + bit
+        tables.append(F.struct(F.lit(t).alias("tbl"), sig.cast("int").alias("bucket")))
+    return embeddings.select(
+        "vec_id", F.explode(F.array(*tables)).alias("e")
+    ).select("vec_id", "e.tbl", "e.bucket")
+
+
+def _cap_buckets(buckets: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop over-full (tbl, bucket) blocks: a degenerate bucket (all-zero
+    vectors, constant embeddings) would otherwise reintroduce the
+    quadratic pair blowup the bucketing exists to prevent. Dropped
+    buckets lose candidates by design — the multi-table layout gives
+    those pairs other chances."""
+    if max_bucket is None:
+        return buckets
     from pyspark.sql.window import Window
 
-    sigs = lsh_signatures(embeddings, n_planes)
-    with_sig = embeddings.join(sigs, "vec_id")
-    q = with_sig.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+    return (
+        buckets.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("tbl", "bucket"))
+        )
+        .where(F.col("bsz") <= max_bucket)
+        .drop("bsz")
     )
-    c = with_sig.select(
-        F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"), F.col("bucket").alias("nb")
+
+
+def knn_lsh_cosine(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_tables: int = 4,
+    band_size: int = 4,
+    max_bucket: int | None = 100000,
+) -> DataFrame:
+    """ANN: exact cosine restricted to vectors sharing any LSH band
+    bucket with the query (multi-table union improves recall)."""
+    from pyspark.sql.window import Window
+
+    bk = _cap_buckets(lsh_band_buckets(embeddings, n_tables, band_size), max_bucket)
+    qb = bk.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), "tbl", "bucket"
     )
+    cand = (
+        F.broadcast(qb)
+        .join(bk.select(F.col("vec_id").alias("nid"), "tbl", "bucket"), ["tbl", "bucket"])
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    q = embeddings.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    c = embeddings.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
     scored = (
-        F.broadcast(q)
-        .join(c, (F.col("qb") == F.col("nb")) & (F.col("qid") != F.col("nid")))
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "nid")
         .select("qid", "nid", F.round(_cosine(F.col("qe"), F.col("ne")), 4).alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
@@ -120,20 +202,28 @@ def knn_lsh_cosine(
 
 
 def cosine_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 6
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 4,
+    band_size: int = 4,
+    max_bucket: int | None = 100000,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs above a cosine threshold, candidate
-    space limited to same-LSH-bucket pairs."""
-    sigs = lsh_signatures(embeddings, n_planes)
-    with_sig = embeddings.join(sigs, "vec_id")
-    a = with_sig.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ae"), F.col("bucket").alias("ab")
+    """Embedding near-duplicate pairs above a cosine threshold; candidate
+    space = pairs sharing any (tbl, bucket), per-bucket size capped."""
+    bk = _cap_buckets(lsh_band_buckets(embeddings, n_tables, band_size), max_bucket)
+    a = bk.select(F.col("vec_id").alias("a_id"), "tbl", "bucket")
+    b = bk.select(F.col("vec_id").alias("b_id"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
     )
-    b = with_sig.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("be"), F.col("bucket").alias("bb")
-    )
+    ea = embeddings.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ae"))
+    eb = embeddings.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("be"))
     return (
-        a.join(b, (F.col("ab") == F.col("bb")) & (F.col("a_id") < F.col("b_id")))
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
         .select("a_id", "b_id", F.round(_cosine(F.col("ae"), F.col("be")), 4).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
