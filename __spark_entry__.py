@@ -218,13 +218,13 @@ def q_mp_chunked(spark, sf_dir):
 
 def q_mp_discords(spark, sf_dir):
     filled = _hourly_rate_filled(spark, sf_dir)
-    _, discords, _ = discover(filled, w=24)
+    _, discords, _, _ = discover(filled, w=24)
     return discords
 
 
 def q_mp_motifs(spark, sf_dir):
     filled = _hourly_rate_filled(spark, sf_dir)
-    motifs, _, _ = discover(filled, w=24)
+    motifs, _, _, _ = discover(filled, w=24)
     return motifs.select(
         "conv_id", "metric", "w", "group", F.round("min_dist", 4).alias("min_dist")
     )
@@ -232,7 +232,7 @@ def q_mp_motifs(spark, sf_dir):
 
 def q_mp_segments(spark, sf_dir):
     filled = _hourly_rate_filled(spark, sf_dir)
-    _, _, segments = discover(filled, w=24)
+    _, _, segments, _ = discover(filled, w=24)
     return segments.select("conv_id", "metric", "w", "idx", F.round("cac", 4).alias("cac"))
 
 
@@ -302,7 +302,7 @@ def q_mp_av_discords(spark, sf_dir):
     flat regions before discord ranking (av/annotation_vector.go:53-80)."""
     filled = _hourly_rate_filled(spark, sf_dir)
     sub = filled.where(F.col("conv_id").cast("int") < 40)
-    _, discords, _ = discover(sub, w=24, av="complexity")
+    _, discords, _, _ = discover(sub, w=24, av="complexity")
     return discords
 
 
@@ -388,7 +388,7 @@ def q_mp_segments_oracle(spark, sf_dir):
     matrixprofile.go:1382-1403): arc curve = +1/-1 interval marks +
     prefix sum over the profile index, CAC = min(1, histo/iac) with
     pinned ends — all ANSI-SQL-expressible (arcCurve, discover.go:18-36)."""
-    _, _, segments = discover(
+    _, _, segments, _ = discover(
         _latency40(spark, sf_dir), w=8, opts=MPOpts(algorithm="stomp")
     )
     return segments.select("conv_id", "idx", F.round("cac", 4).alias("cac"))
@@ -447,7 +447,7 @@ def entry(spark: SparkSession) -> DataFrame:
     MPX(w=16) → top-3 discords per conversation, on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
     filled = _hourly_rate_filled(spark, sf_dir)
-    _, discords, _ = discover(filled, w=16, k_discords=3)
+    _, discords, _, _ = discover(filled, w=16, k_discords=3)
     return discords
 
 

@@ -327,8 +327,10 @@ class MatrixProfile:
         n_jobs = max(1, self.opts.n_jobs)
         scheme = diag_batching_scheme(len_a, n_jobs)
         if self.self_join:
+            c0_all = self._mpx_c0_all(mua)
             results = [
-                self._mpx_batch(bidx, mua, siga, dfa, dga, bsz) for bidx, bsz in scheme
+                self._mpx_batch(bidx, mua, siga, dfa, dga, bsz, c0_all)
+                for bidx, bsz in scheme
             ]
         else:
             results = [
@@ -346,13 +348,26 @@ class MatrixProfile:
         ]
         self._merge(results, self.opts.euclidean)
 
-    def _mpx_batch(self, idx, mu, sig, df, dg, batch_size):
+    def _mpx_c0_all(self, mu):
+        """Seed correlations for EVERY diagonal in one FFT sliding dot:
+        c0[diag] = <a[diag:diag+w] - mu[diag], a[:w] - mu[0]>
+                 = slidingdot(a[:w]-mu[0], a)[diag] - mu[diag]·Σ(a[:w]-mu[0]).
+        Replaces len_a small np.dot calls (one per diagonal) with a
+        single O(n log n) pass — ~15-20% of the whole MPX kernel."""
+        a, w = self.a, self.w
+        len_a = a.size - w + 1
+        first = a[:w] - mu[0]
+        bf = np.fft.rfft(a)
+        return cross_correlate(first, a, bf)[:len_a] - mu[:len_a] * first.sum()
+
+    def _mpx_batch(self, idx, mu, sig, df, dg, batch_size, c0_all=None):
         """One diagonal batch of the self-join (matrixprofile.go:996-1054).
 
         Per-diagonal vectorized: each diagonal is one cumsum + a handful
         of in-cache vector ops over the remaining offsets (the working
         vectors are O(n) and L2-resident, which beats 2-D blocking —
-        measured: large blocks fall out of cache and run 5x slower).
+        measured: large blocks fall out of cache and run 5x slower, and
+        (D×T)-tiled variants with cumsum carry also lose to this loop).
         Updates preserve Go's exact tie order: strict > in Pearson space
         with diagonals ascending, and within a diagonal the
         diagonal-side touch of a cell precedes its offset-side touch
@@ -366,28 +381,30 @@ class MatrixProfile:
         mp = np.full(len_a, -1.0)
         mpidx = np.zeros(len_a, dtype=np.int64)
         remap = self.opts.remap_neg_corr
-        first = a[:w] - mu[0]
         d_start = idx + excl
         d_end = min(idx + batch_size + excl, len_a)
         if d_start >= d_end:
             if self.opts.euclidean:
                 mp = p2e(mp, w)
             return mp, mpidx, None, None
+        if c0_all is None:
+            c0_all = self._mpx_c0_all(mu)
 
         max_o = len_a - d_start
         t1 = np.empty(max_o)
         t2 = np.empty(max_o)
         for diag in range(d_start, d_end):
             omax = len_a - diag
-            c0 = np.dot(a[diag : diag + w] - mu[diag], first)
             b1 = t1[:omax]
             b2 = t2[:omax]
-            # c evolves by +df[o]*dg[o+diag] + df[o+diag]*dg[o] per offset
+            # c evolves by +df[o]*dg[o+diag] + df[o+diag]*dg[o] per offset;
+            # term[0] is 0 (df[0]=dg[0]=0), so seeding it with c0 before
+            # the cumsum folds the "+ c0" into the scan (one fewer pass)
             np.multiply(df[:omax], dg[diag : diag + omax], out=b1)
             np.multiply(df[diag : diag + omax], dg[:omax], out=b2)
             b1 += b2
+            b1[0] += c0_all[diag]
             np.cumsum(b1, out=b1)
-            b1 += c0
             np.multiply(sig[:omax], sig[diag : diag + omax], out=b2)
             b1 *= b2
             if remap:
@@ -691,6 +708,121 @@ class MatrixProfile:
 def compute_mp(a, b=None, w: int = 0, opts: MPOpts | None = None) -> MatrixProfile:
     """Convenience: New + Compute."""
     return MatrixProfile(a, b, w).compute(opts)
+
+
+def mpx_tile_partial(
+    x: np.ndarray,
+    y: np.ndarray,
+    r0: int,
+    c0: int,
+    n_row: int,
+    n_col: int,
+    w: int,
+    remap_neg_corr: bool = False,
+):
+    """SCAMP-style 2-D tile partial of the MPX self-join.
+
+    The distributed decomposition for mega-series: instead of shipping
+    the WHOLE series to every diagonal-batch task (shuffle volume B×n
+    and a single-row assembly that hits Spark's 2 GiB ceiling around
+    10^8 points), the distance matrix's upper triangle is tiled into
+    (row-range × col-range) blocks and each task receives only the two
+    O(T + w) segments its block touches.
+
+    x covers global positions [r0, r0 + n_row + w - 1) of the series;
+    y covers [c0, c0 + n_col + w - 1); c0 >= r0 (upper triangle). The
+    tile computes corr for all pairs (gi, gj) with gi in the row range,
+    gj in the col range and gj - gi >= excl = max(1, w//4) — the MPX
+    exclusion zone (matrixprofile.go:998-1001) — using the same
+    difference-stream recurrence as mpxBatch (matrixprofile.go:996-1054):
+    local df/dg/mu/sig at position p equal their global values because
+    every quantity is window-local. Diagonal seeds come from one FFT
+    sliding dot per side (two total). Diagonals are traversed in
+    ascending global-diagonal order with strict > (earliest diagonal
+    wins ties, Go parity).
+
+    Returns (mp_row, idx_row, mp_col, idx_col): Pearson-space partial
+    profiles for the tile's row / col offset ranges, neighbor indices
+    GLOBAL. Callers convert with p2e and merge partials by max-corr.
+    """
+    from .mass import cross_correlate
+
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    excl = max(1, w // 4)
+    lx = x.size - w + 1
+    ly = y.size - w + 1
+    nr = min(n_row, lx)
+    nc = min(n_col, ly)
+    mp_row = np.full(max(nr, 0), -1.0)
+    idx_row = np.zeros(max(nr, 0), dtype=np.int64)
+    mp_col = np.full(max(nc, 0), -1.0)
+    idx_col = np.zeros(max(nc, 0), dtype=np.int64)
+    if nr <= 0 or nc <= 0:
+        return mp_row, idx_row, mp_col, idx_col
+
+    mux, sigx = mu_invn(x, w)
+    muy, sigy = mu_invn(y, w)
+    dfx = np.zeros(lx)
+    dgx = np.zeros(lx)
+    dfx[1:] = 0.5 * (x[w : w + lx - 1] - x[: lx - 1])
+    dgx[1:] = (x[w : w + lx - 1] - mux[1:lx]) + (x[: lx - 1] - mux[: lx - 1])
+    dfy = np.zeros(ly)
+    dgy = np.zeros(ly)
+    dfy[1:] = 0.5 * (y[w : w + ly - 1] - y[: ly - 1])
+    dgy[1:] = (y[w : w + ly - 1] - muy[1:ly]) + (y[: ly - 1] - muy[: ly - 1])
+
+    off = c0 - r0
+    d_min = max(-(nr - 1), excl - off)
+    d_max = nc - 1
+    if d_min > d_max:
+        return mp_row, idx_row, mp_col, idx_col
+
+    # seeds: <x[i:i+w]-mux[i], y[j:j+w]-muy[j]> = dot - w·mux[i]·muy[j]
+    seeds_pos = cross_correlate(x[:w], y)[:ly] - float(w) * mux[0] * muy[:ly]
+    seeds_neg = (
+        cross_correlate(y[:w], x)[:lx] - float(w) * muy[0] * mux[:lx]
+        if d_min < 0
+        else None
+    )
+
+    t1 = np.empty(max(nr, nc))
+    t2 = np.empty(max(nr, nc))
+    for d in range(d_min, d_max + 1):
+        if d >= 0:
+            i0, j0 = 0, d
+            m = min(nr, nc - d)
+            seed = seeds_pos[d]
+        else:
+            i0, j0 = -d, 0
+            m = min(nr + d, nc)
+            seed = seeds_neg[-d]
+        if m <= 0:
+            continue
+        b1 = t1[:m]
+        b2 = t2[:m]
+        np.multiply(dfx[i0 : i0 + m], dgy[j0 : j0 + m], out=b1)
+        np.multiply(dfy[j0 : j0 + m], dgx[i0 : i0 + m], out=b2)
+        b1 += b2
+        b1[0] = seed  # first cell carries the exact FFT seed, no step term
+        np.cumsum(b1, out=b1)
+        np.multiply(sigx[i0 : i0 + m], sigy[j0 : j0 + m], out=b2)
+        b1 *= b2
+        if remap_neg_corr:
+            np.abs(b1, out=b1)
+        # row side first (global cell gi = r0+i0+t is the smaller index —
+        # mirrors the whole-series kernel's diagonal-side-first order)
+        seg = mp_row[i0 : i0 + m]
+        upd = np.nonzero(b1 > seg)[0]
+        if upd.size:
+            seg[upd] = b1[upd]
+            idx_row[i0 + upd] = c0 + j0 + upd
+        seg = mp_col[j0 : j0 + m]
+        upd = np.nonzero(b1 > seg)[0]
+        if upd.size:
+            seg[upd] = b1[upd]
+            idx_col[j0 + upd] = r0 + i0 + upd
+    return mp_row, idx_row, mp_col, idx_col
 
 
 def mpdist(a, b, w: int, opts: MPOpts | None = None, av: str = "default") -> float:

@@ -160,6 +160,89 @@ def matrix_profile_assembled(
     return assembled.mapInPandas(kernel, MP_SCHEMA)
 
 
+def chunked_tile_inputs(src: DataFrame, w: int, k: int) -> DataFrame:
+    """Build the bounded tile-task table for the chunked matrix profile.
+
+    src: (conv_id, metric, bucket_s, value). Output: one row per
+    upper-triangular tile (conv_id, metric, r, c, row_vals, col_vals,
+    len_a, t_width) where each vals array is bounded by t_width + w - 1
+    points — never the whole series. Stages: window-sort positions,
+    assign each point to the ≤2 overlapping segments that need it,
+    aggregate segments to bounded array rows, cross the tile list with
+    the two segments per tile via equi-joins. All built-ins; the only
+    shuffles are the position sort, the segment aggregation, and the
+    two segment joins — each keyed on bounded (conv, metric, seg) keys.
+    """
+    from pyspark.sql.window import Window
+
+    wpos = Window.partitionBy("conv_id", "metric").orderBy("bucket_s")
+    pts = src.select(
+        "conv_id",
+        "metric",
+        "value",
+        (F.row_number().over(wpos) - 1).alias("pos"),
+        F.count("*").over(Window.partitionBy("conv_id", "metric")).alias("n"),
+    ).where(F.col("n") >= w + 1)
+    # per-conv tile width: T = ceil(len_a / k), floored at w so the
+    # two-candidate segment assignment below stays valid (w - 1 <= T)
+    pts = pts.withColumn("len_a", F.col("n") - w + 1).withColumn(
+        "t_width", F.greatest(F.ceil(F.col("len_a") / k).cast("long"), F.lit(w))
+    )
+    # point at pos p feeds segment s iff s*T <= p < (s+1)*T + w - 1:
+    # candidates are p//T and p//T - 1 (the latter iff p mod T < w - 1)
+    s_hi = (F.col("pos") / F.col("t_width")).cast("long")
+    seg_candidates = F.array(
+        F.when(s_hi < F.ceil(F.col("len_a") / F.col("t_width")).cast("long"), s_hi),
+        F.when((s_hi >= 1) & (F.col("pos") % F.col("t_width") < w - 1), s_hi - 1),
+    )
+    seg_pts = pts.select(
+        "conv_id",
+        "metric",
+        "value",
+        "pos",
+        "len_a",
+        "t_width",
+        F.explode(F.filter(seg_candidates, lambda s: s.isNotNull())).alias("seg"),
+    )
+    segments = seg_pts.groupBy("conv_id", "metric", "seg").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "value"))), lambda s: s["value"]
+        ).alias("vals"),
+        F.first("len_a").alias("len_a"),
+        F.first("t_width").alias("t_width"),
+    )
+
+    # tile list: (conv, metric, r, c) for 0 <= r <= c < n_segs
+    convs = segments.groupBy("conv_id", "metric").agg(F.max("seg").alias("max_seg"))
+    tiles = convs.select(
+        "conv_id",
+        "metric",
+        F.explode(F.sequence(F.lit(0), F.col("max_seg"))).alias("r"),
+        "max_seg",
+    ).select(
+        "conv_id",
+        "metric",
+        "r",
+        F.explode(F.sequence(F.col("r"), F.col("max_seg"))).alias("c"),
+    )
+    row_seg = segments.select(
+        "conv_id",
+        "metric",
+        F.col("seg").alias("r"),
+        F.col("vals").alias("row_vals"),
+        "len_a",
+        "t_width",
+    )
+    col_seg = segments.select(
+        "conv_id", "metric", F.col("seg").alias("c"), F.col("vals").alias("col_vals")
+    )
+    return (
+        tiles.join(row_seg, ["conv_id", "metric", "r"])
+        .join(col_seg, ["conv_id", "metric", "c"])
+        .repartition(cpu_partitions(src), "conv_id", "metric", "r", "c")
+    )
+
+
 def matrix_profile_chunked(
     series: DataFrame,
     w: int,
@@ -167,91 +250,126 @@ def matrix_profile_chunked(
     opts: MPOpts | None = None,
     value_col: str = "value",
 ) -> DataFrame:
-    """MPX with intra-series parallelism: B diagonal-batch tasks per conv.
+    """MPX with intra-series parallelism via SCAMP-style 2-D tiles.
 
-    Stage 1 assembles each conv's series once (sorted array per row),
-    stage 2 explodes a batch index 0..B-1 (each task re-derives its
-    diagonal range from DiagBatchingScheme — deterministic), stage 3
-    computes the batch partial in a pandas UDF, stage 4 merges with a
-    shuffle min_by that encodes the reference's tie order.
+    The distance matrix's upper triangle is tiled into k×k blocks
+    (k(k+1)/2 ≈ n_batches tasks per conv); each tile task receives ONLY
+    the two overlapping series segments its block touches — O(T + w)
+    points each — instead of the whole series. Shuffle volume is
+    O(k·n) per conv (vs B·n for the old exploded-array plan) and no
+    single row ever holds the full series, so a 10^8-point conversation
+    no longer approaches Spark's 2 GiB row ceiling.
+
+    Stages: (1) window-sort positions per conv, (2) assign each point
+    to the ≤2 segments that need it (built-ins: explode over a filtered
+    candidate array), (3) aggregate each segment to one bounded array
+    row, (4) build the tile list and equi-join the two segments per
+    tile, (5) kernel task computes the tile partial in Pearson space
+    (kernels.mpx_tile_partial — exact, FFT-seeded diagonals), (6) merge
+    partials with max_by(corr, tie → earliest global diagonal), then
+    convert to Euclidean (p2e). Currently Euclidean output only.
     """
     opts = opts or MPOpts(algorithm="mpx")
+    if not opts.euclidean:
+        raise ValueError("matrix_profile_chunked emits Euclidean profiles only")
+    # k tiles per side so that k(k+1)/2 ≈ n_batches tasks per conv
+    k = max(1, int(round(((8 * n_batches + 1) ** 0.5 - 1) / 2)))
     src = series.select(
         "conv_id", "metric", "bucket_s", F.col(value_col).alias("value")
     )
-    assembled = src.groupBy("conv_id", "metric").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("bucket_s", "value"))),
-            lambda s: s["value"],
-        ).alias("vals")
-    )
-    batched = assembled.withColumn(
-        "batch", F.explode(F.sequence(F.lit(0), F.lit(n_batches - 1)))
-    ).repartition(cpu_partitions(series), "conv_id", "metric", "batch")
-
+    tile_in = chunked_tile_inputs(src, w, k)
     part_schema = T.StructType(
         [
             T.StructField("conv_id", T.StringType(), False),
             T.StructField("metric", T.StringType(), False),
-            T.StructField("batch", T.IntegerType(), False),
             T.StructField("offset", T.IntegerType(), False),
-            T.StructField("mp", T.DoubleType(), True),
+            T.StructField("corr", T.DoubleType(), True),
             T.StructField("idx", T.LongType(), True),
         ]
     )
 
-    def batch_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels.util import diag_batching_scheme
+    def tile_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.matrix_profile import mpx_tile_partial
 
         for pdf in it:
             for row in pdf.itertuples(index=False):
-                vals = np.asarray(row.vals, dtype=np.float64)
-                if vals.size < w + 1:
+                t_w = int(row.t_width)
+                len_a = int(row.len_a)
+                r0 = int(row.r) * t_w
+                c0 = int(row.c) * t_w
+                n_row = min(t_w, len_a - r0)
+                n_col = min(t_w, len_a - c0)
+                if n_row <= 0 or n_col <= 0:
                     continue
-                mp_task = MatrixProfile(vals, None, w)
-                mp_task.opts = opts
-                len_a = vals.size - w + 1
-                scheme = diag_batching_scheme(len_a, n_batches)
-                bidx, bsz = scheme[row.batch]
-                from ..kernels.util import mu_invn
-
-                mua, siga = mu_invn(vals, w)
-                len_prof = len_a
-                dfa = np.zeros(len_prof)
-                dga = np.zeros(len_prof)
-                dfa[1:] = 0.5 * (vals[w : w + len_prof - 1] - vals[: len_prof - 1])
-                dga[1:] = (vals[w : w + len_prof - 1] - mua[1:len_prof]) + (
-                    vals[: len_prof - 1] - mua[: len_prof - 1]
+                mpr, idr, mpc, idc = mpx_tile_partial(
+                    np.asarray(row.row_vals, dtype=np.float64),
+                    np.asarray(row.col_vals, dtype=np.float64),
+                    r0,
+                    c0,
+                    n_row,
+                    n_col,
+                    w,
+                    remap_neg_corr=opts.remap_neg_corr,
                 )
-                res = mp_task._mpx_batch(bidx, mua, siga, dfa, dga, bsz)
-                if res is None:
-                    continue
-                bmp, bi, _, _ = res
-                yield pd.DataFrame(
-                    {
-                        "conv_id": row.conv_id,
-                        "metric": row.metric,
-                        "batch": np.int32(row.batch),
-                        "offset": np.arange(bmp.size, dtype=np.int32),
-                        "mp": bmp,
-                        "idx": bi,
-                    }
-                )
+                frames = [
+                    pd.DataFrame(
+                        {
+                            "conv_id": row.conv_id,
+                            "metric": row.metric,
+                            "offset": np.arange(r0, r0 + mpr.size, dtype=np.int32),
+                            "corr": mpr,
+                            "idx": idr,
+                        }
+                    )
+                ]
+                if not (row.r == row.c):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "conv_id": row.conv_id,
+                                "metric": row.metric,
+                                "offset": np.arange(c0, c0 + mpc.size, dtype=np.int32),
+                                "corr": mpc,
+                                "idx": idc,
+                            }
+                        )
+                    )
+                else:
+                    # diagonal tile: row/col ranges coincide; emit the
+                    # element-wise better of the two partials
+                    better = mpc > mpr
+                    mpr2 = np.where(better, mpc, mpr)
+                    idr2 = np.where(better, idc, idr)
+                    frames = [
+                        pd.DataFrame(
+                            {
+                                "conv_id": row.conv_id,
+                                "metric": row.metric,
+                                "offset": np.arange(r0, r0 + mpr.size, dtype=np.int32),
+                                "corr": mpr2,
+                                "idx": idr2,
+                            }
+                        )
+                    ]
+                yield pd.concat(frames, ignore_index=True)
 
-    partials = batched.mapInPandas(batch_kernel, part_schema)
-    # later batch wins Euclidean ties (<= in mergeMPResults): order by
-    # (mp asc, batch desc) and take the first via min_by on a struct
+    partials = tile_in.mapInPandas(tile_kernel, part_schema)
+    # merge: max corr; ties -> earliest global diagonal (MPX's strict >
+    # with ascending diagonals, matrixprofile.go:1038-1044)
+    diag_dist = F.abs(F.col("idx") - F.col("offset"))
     merged = partials.groupBy("conv_id", "metric", "offset").agg(
-        F.min_by(
-            F.struct("mp", "idx"), F.struct(F.col("mp"), (-F.col("batch")).alias("nb"))
+        F.max_by(
+            F.struct("corr", "idx"),
+            F.struct(F.col("corr"), (-diag_dist).alias("nd")),
         ).alias("best")
     )
+    # p2e: d = sqrt(2w(1 - min(corr, 1)))  (util/util.go:266-274)
     return merged.select(
         "conv_id",
         "metric",
         F.lit(w).cast("int").alias("w"),
         "offset",
-        F.col("best.mp").alias("mp"),
+        F.sqrt(2.0 * w * (1.0 - F.least(F.col("best.corr"), F.lit(1.0)))).alias("mp"),
         F.col("best.idx").alias("idx"),
     )
 
@@ -264,12 +382,16 @@ def discover(
     k_discords: int = 3,
     opts: MPOpts | None = None,
     av: str = "default",
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Analyze pipeline per conv: MP → motifs + discords + segmentation.
 
     The greedy discovery loops are inherently sequential per series
     (each pick mutates the profile — SURVEY.md §2.5) so they run inside
-    the per-conv UDF; results explode into three tables.
+    the per-conv UDF; results explode into three tables. Series shorter
+    than max(2w, w+4) have no meaningful discovery (the reference's own
+    constructors reject 2w >= n, kmp.go:52) — they are NOT silently
+    dropped: the fourth returned table lists every skipped
+    (conv_id, metric) with its length and the floor it missed.
     """
     opts = opts or MPOpts()
     assembled = assemble_series(series)
@@ -293,6 +415,12 @@ def discover(
                 conv_id, metric = rec.conv_id, rec.metric
                 vals = np.asarray(rec.vals, dtype=np.float64)
                 if vals.size < max(2 * w, w + 4):
+                    # surfaced, not dropped: score = observed length,
+                    # idx = [required floor]
+                    rows.append(
+                        (conv_id, metric, w, "skipped", 0,
+                         [max(2 * w, w + 4)], float(vals.size))
+                    )
                     continue
                 mp = MatrixProfile(vals, None, w)
                 mp.av = av
@@ -322,7 +450,14 @@ def discover(
     segments = combined.where(F.col("kind") == "segment").select(
         "conv_id", "metric", "w", F.element_at("idx", 1).alias("idx"), F.col("score").alias("cac")
     )
-    return motifs, discords, segments
+    skipped = combined.where(F.col("kind") == "skipped").select(
+        "conv_id",
+        "metric",
+        "w",
+        F.element_at("idx", 1).alias("min_len_required"),
+        F.col("score").cast("int").alias("series_len"),
+    )
+    return motifs, discords, segments, skipped
 
 
 def k_matrix_profile(series_multi: DataFrame, w: int) -> DataFrame:

@@ -79,7 +79,7 @@ def main() -> None:
         ),
     )
     stage("mp_profile", matrix_profile(filled, w=args.w, opts=MPOpts(algorithm="mpx")))
-    motifs, discords, segments = discover(filled, w=args.w)
+    motifs, discords, segments, _ = discover(filled, w=args.w)
     stage("motifs", motifs.withColumn("idx", motifs["idx"].cast("array<int>")))
     stage("discords", discords)
     stage("segments", segments)

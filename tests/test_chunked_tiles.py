@@ -1,0 +1,79 @@
+"""Chunked (tiled) matrix profile: bounded-segment plumbing at mega-thread
+scale and kernel-vs-whole equality at 16k."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestTilePlumbing:
+    def test_mega_thread_segments_bounded(self, spark):
+        """A 2^21-point conversation must never materialize as one row:
+        every segment array is bounded by t_width + w - 1 and the tile
+        fan-out is k(k+1)/2. (The O(n^2) kernel itself is exercised at
+        smaller n — this pins the plan that removes the 2 GiB row
+        ceiling.)"""
+        from go_matrixprofile_spark.operators.profile import chunked_tile_inputs
+
+        n = 1 << 21
+        w = 128
+        k = 4
+        src = (
+            spark.range(n)
+            .select(
+                F.lit("mega").alias("conv_id"),
+                F.lit("m").alias("metric"),
+                F.col("id").cast("double").alias("bucket_s"),
+                (F.sin(F.col("id") / 37.0) + F.col("id") % 13 / 7.0).alias("value"),
+            )
+        )
+        tiles = chunked_tile_inputs(src, w, k).select(
+            "r",
+            "c",
+            F.size("row_vals").alias("nrow"),
+            F.size("col_vals").alias("ncol"),
+            "len_a",
+            "t_width",
+        )
+        pdf = tiles.toPandas()
+        len_a = n - w + 1
+        t_width = int(np.ceil(len_a / k))
+        assert len(pdf) == k * (k + 1) // 2
+        assert (pdf["t_width"] == t_width).all()
+        bound = t_width + w - 1
+        assert pdf["nrow"].max() <= bound
+        assert pdf["ncol"].max() <= bound
+        # every tile ships ~2/k of the series, not the whole series
+        assert pdf["nrow"].max() < n // 2
+
+    def test_chunked_equals_whole_16k(self, spark):
+        """Tile decomposition reproduces the whole-series MPX profile on
+        a 16,384-point series (values to 1e-9, indices exactly)."""
+        from go_matrixprofile_spark.kernels import siggen
+        from go_matrixprofile_spark.kernels.matrix_profile import MatrixProfile, MPOpts
+        from go_matrixprofile_spark.operators.profile import matrix_profile_chunked
+
+        n, w = 16384, 64
+        sig = siggen.add(
+            siggen.sin(1.0, 4, 0, 0, 100, n / 100)[:n], siggen.noise(0.25, n, 11)
+        )
+        pdf = pd.DataFrame(
+            {
+                "conv_id": "c16k",
+                "metric": "m",
+                "bucket_s": np.arange(n, dtype=np.float64),
+                "value": sig,
+            }
+        )
+        src = spark.createDataFrame(pdf)
+        got = (
+            matrix_profile_chunked(src, w=w, n_batches=8)
+            .orderBy("offset")
+            .toPandas()
+        )
+        want = MatrixProfile(sig, None, w).compute(MPOpts(algorithm="mpx"))
+        assert len(got) == want.mp.size
+        np.testing.assert_allclose(got["mp"].to_numpy(), want.mp, atol=1e-9)
+        mism = int((got["idx"].to_numpy() != want.idx).sum())
+        assert mism == 0

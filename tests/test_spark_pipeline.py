@@ -217,7 +217,7 @@ class TestMatrixProfileOperator:
         )
 
     def test_discover_tables(self, spark, series_raw):
-        motifs, discords, segments = discover(
+        motifs, discords, segments, _ = discover(
             series_raw.where(series_raw.metric == "text_len"), w=6
         )
         m = motifs.toPandas()
@@ -226,6 +226,26 @@ class TestMatrixProfileOperator:
         assert len(d) > 0 and len(s) > 0
         assert set(m.columns) == {"conv_id", "metric", "w", "group", "idx", "min_dist"}
         assert (d["rank"] >= 0).all()
+
+    def test_discover_surfaces_short_series(self, spark):
+        """Series below the max(2w, w+4) floor are reported in the
+        skipped table, never silently dropped."""
+        import pandas as pd
+
+        rows = []
+        for cid, npts in (("short", 8), ("long", 64)):
+            for i in range(npts):
+                rows.append((cid, "m", float(i), float(i % 7) + (i * 0.13 % 1)))
+        src = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["conv_id", "metric", "bucket_s", "value"])
+        )
+        motifs, discords, segments, skipped = discover(src, w=6)
+        sk = skipped.toPandas()
+        assert set(sk["conv_id"]) == {"short"}
+        assert (sk["series_len"] == 8).all()
+        assert (sk["min_len_required"] == 12).all()
+        assert "short" not in set(discords.toPandas()["conv_id"])
+        assert "long" in set(segments.toPandas()["conv_id"])
 
 
 class TestAutoRouting:
@@ -271,7 +291,7 @@ class TestGoldenDiscoveryThroughSpark:
             (series_raw.conv_id == datagen.FIXTURE_MOTIF)
             & (series_raw.metric == "text_len")
         )
-        motifs, discords, _ = discover(
+        motifs, discords, _, _ = discover(
             src, w=7, k_motifs=3, r_motifs=2.0, opts=MPOpts(algorithm="stomp")
         )
         m = motifs.orderBy("group").toPandas()
