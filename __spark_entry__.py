@@ -278,11 +278,20 @@ def q_mpdist_pairs(spark, sf_dir):
 
 
 def q_update_equivalence(spark, sf_dir):
+    """ORACLE-CHECKED Update ≡ recompute (matrixprofile_test.go:706-762):
+    the engine streams the last 20% of each series through update() and
+    reports the max abs deviation vs a full recompute. The oracle
+    derives (n, n_new) independently from the transcripts and pins
+    max_abs_diff to exactly 0 at 6 decimals — a materially false
+    incremental path cannot hash-match."""
     # noisy µs-resolution latency series: no constant windows, so the
     # incremental path never hits the reference's zero-std error
     lat = S.inter_turn_latency_series(_transcripts(spark, sf_dir))
     sub = lat.where(F.col("conv_id").cast("int") < 10)
-    return streaming_update_check(sub, w=16)
+    chk = streaming_update_check(sub, w=16)
+    return chk.select(
+        "conv_id", "metric", "n", "n_new", F.round("max_abs_diff", 6).alias("max_abs_diff")
+    )
 
 
 def q_mp_ab_join(spark, sf_dir):
@@ -333,26 +342,14 @@ def q_mp_stomp_oracle(spark, sf_dir):
     )
 
 
-def q_mp_discords_oracle(spark, sf_dir):
-    """ORACLE-CHECKED greedy top-3 discords (DiscoverDiscords,
-    matrixprofile.go:1338-1374): argmax with w/2 exclusion-zone
-    suppression over the engine-computed profile.
-
-    The profile is quantized to 4 decimals BEFORE the greedy and ties
-    break on the lower offset, because mutual-nearest-neighbor pairs
-    have bit-identical mp at both arc ends — 1e-15 arithmetic noise
-    would otherwise flip the argmax between engines. The raw-float
-    kernel greedy (mp.discover_discords) is pinned separately by the Go
-    golden fixtures (matrixprofile_test.go:764-799) in pytest; this
-    query value-checks the distributed top-k-with-suppression plan."""
+def _greedy_top3_discords(prof: DataFrame, zone: int = 4) -> DataFrame:
+    """Distributed greedy top-3 argmax with exclusion-zone suppression
+    (DiscoverDiscords, matrixprofile.go:1338-1374) over a quantized
+    profile (conv_id, offset, mp already rounded). Ties break on the
+    lower offset — deterministic and engine-portable."""
     from pyspark.sql.window import Window
 
-    prof = matrix_profile(_latency40(spark, sf_dir), w=8, opts=MPOpts(algorithm="stomp"))
-    cur = (
-        prof.select("conv_id", "offset", F.round("mp", 4).alias("mp"))
-        .where("mp > 0 AND NOT isnan(mp)")
-        .persist()  # tiny (33 rows/conv); each greedy pick re-reads it
-    )
+    cur = prof.where("mp > 0 AND NOT isnan(mp)").persist()
     order = Window.partitionBy("conv_id").orderBy(
         F.col("mp").desc(), F.col("offset").asc()
     )
@@ -374,13 +371,124 @@ def q_mp_discords_oracle(spark, sf_dir):
                     F.broadcast(top.select("conv_id", F.col("idx").alias("dx"))),
                     "conv_id",
                 )
-                .where("offset < dx - 4 OR offset >= dx + 4")
+                .where(f"offset < dx - {zone} OR offset >= dx + {zone}")
                 .select("conv_id", "offset", "mp")
             )
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+def q_mp_discords_oracle(spark, sf_dir):
+    """ORACLE-CHECKED greedy top-3 discords (DiscoverDiscords,
+    matrixprofile.go:1338-1374): argmax with w/2 exclusion-zone
+    suppression over the engine-computed profile.
+
+    The profile is quantized to 4 decimals BEFORE the greedy and ties
+    break on the lower offset, because mutual-nearest-neighbor pairs
+    have bit-identical mp at both arc ends — 1e-15 arithmetic noise
+    would otherwise flip the argmax between engines. The raw-float
+    kernel greedy (mp.discover_discords) is pinned separately by the Go
+    golden fixtures (matrixprofile_test.go:764-799) in pytest; this
+    query value-checks the distributed top-k-with-suppression plan."""
+    prof = matrix_profile(_latency40(spark, sf_dir), w=8, opts=MPOpts(algorithm="stomp"))
+    return _greedy_top3_discords(
+        prof.select("conv_id", "offset", F.round("mp", 4).alias("mp"))
+    )
+
+
+def q_mp_mpx_oracle(spark, sf_dir):
+    """ORACLE-CHECKED default-algorithm (MPX) profile: diagonal
+    traversal with the max(1, w/4) exclusion zone
+    (matrixprofile.go:998-1001) and the clamped Pearson→Euclidean
+    conversion (util/util.go:266-274), vs the quadratic SQL twin."""
+    prof = matrix_profile(_latency40(spark, sf_dir), w=8, opts=MPOpts(algorithm="mpx"))
+    return prof.select(
+        "conv_id", F.col("offset").alias("j"), F.round("mp", 4).alias("mp")
+    )
+
+
+def _textlen40(spark, sf_dir):
+    """Bounded text-length series: first 40 turns' text lengths per
+    conversation (conversations with >= 40 turns only)."""
+    from pyspark.sql.window import Window
+
+    tl = S.text_len_series(_transcripts(spark, sf_dir))
+    w40 = Window.partitionBy("conv_id").orderBy("bucket_s")
+    first40 = tl.withColumn("rn", F.row_number().over(w40)).where("rn <= 40")
+    eligible = (
+        first40.groupBy("conv_id").agg(F.count("*").alias("n")).where("n = 40")
+    )
+    return first40.join(eligible.select("conv_id"), "conv_id").drop("rn", "n")
+
+
+def q_mp_ab_oracle(spark, sf_dir):
+    """ORACLE-CHECKED AB-join (mpxabBatch/mpxbaBatch,
+    matrixprofile.go:1057-1198): latency series joined against the
+    text-length series per conversation, both directions, no exclusion
+    zone — vs the quadratic cross-profile in SQL."""
+    prof = matrix_profile_ab(
+        _latency40(spark, sf_dir), _textlen40(spark, sf_dir), w=8
+    )
+    return prof.select(
+        "conv_id", "direction", "offset", F.round("mp", 4).alias("mp")
+    )
+
+
+def q_mp_av_discords_oracle(spark, sf_dir):
+    """ORACLE-CHECKED annotation-vector discovery: the complexity AV
+    (av/annotation_vector.go:53-80) deweights flat regions —
+    mp' = mp + (1-av)·max(mp) (applySingleAV, matrixprofile.go:88-121)
+    — then greedy top-3 discords on the corrected profile. The AV and
+    correction run through kernels/av.py inside an Arrow-batched task;
+    the SQL twin rebuilds both from windowed diffs."""
+    from pyspark.sql import types as T2
+
+    src = _latency40(spark, sf_dir)
+    prof = matrix_profile(src, w=8, opts=MPOpts(algorithm="stomp"))
+    series_arr = src.groupBy("conv_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket_s", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    prof_arr = prof.groupBy("conv_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("offset", "mp"))),
+            lambda s: s["mp"],
+        ).alias("mps")
+    )
+    joined = series_arr.join(prof_arr, "conv_id")
+    schema = T2.StructType(
+        [
+            T2.StructField("conv_id", T2.StringType(), False),
+            T2.StructField("offset", T2.IntegerType(), False),
+            T2.StructField("mp", T2.DoubleType(), False),
+        ]
+    )
+
+    def kern(it):
+        import numpy as np
+        import pandas as pd
+
+        from go_matrixprofile_spark.kernels.av import apply_single_av
+
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                mp = np.asarray(row.mps, dtype=np.float64)
+                corrected = apply_single_av(
+                    mp, np.asarray(row.vals, dtype=np.float64), 8, "complexity"
+                )
+                yield pd.DataFrame(
+                    {
+                        "conv_id": row.conv_id,
+                        "offset": np.arange(corrected.size, dtype=np.int32),
+                        "mp": np.round(corrected, 4),
+                    }
+                )
+
+    return _greedy_top3_discords(joined.mapInPandas(kern, schema))
 
 
 def q_mp_segments_oracle(spark, sf_dir):
@@ -489,6 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp_discords_oracle": q_mp_discords_oracle,
         "mp_segments_oracle": q_mp_segments_oracle,
         "mpdist_oracle": q_mpdist_oracle,
+        "mp_mpx_oracle": q_mp_mpx_oracle,
+        "mp_ab_oracle": q_mp_ab_oracle,
+        "mp_av_discords_oracle": q_mp_av_discords_oracle,
         "compress_roundtrip": q_compress_roundtrip,
         "mp_transcript_corpus": q_mp_transcript_corpus,
     }
@@ -845,6 +956,148 @@ allv AS (
 )
 SELECT a_id, b_id, ROUND(v, 4) AS mpdist FROM allv
 QUALIFY ROW_NUMBER() OVER (PARTITION BY a_id, b_id ORDER BY v ASC) = 5
+""",
+        "mp_mpx_oracle": f"""
+WITH {_LAT40},
+dots AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, SUM(av.v * bv.v) AS dot
+  FROM offs a
+  JOIN offs b ON b.conv_id = a.conv_id AND ABS(a.i - b.i) >= 2
+  JOIN el av ON av.conv_id = a.conv_id AND av.pos >= a.i AND av.pos <= a.i + 7
+  JOIN el bv ON bv.conv_id = a.conv_id AND bv.pos = b.i + (av.pos - a.i)
+  GROUP BY 1, 2, 3
+),
+dists AS (
+  -- MuInvN zero-sigma guard: constant windows contribute corr 0
+  SELECT d.conv_id, d.j,
+         SQRT(2*8*(1 - LEAST(
+           CASE WHEN si.sig = 0 OR sj.sig = 0 THEN 0.0
+                ELSE (d.dot - 8*si.mu*sj.mu)/(8*si.sig*sj.sig) END, 1.0))) AS dist
+  FROM dots d
+  JOIN stats si ON si.conv_id = d.conv_id AND si.i = d.i
+  JOIN stats sj ON sj.conv_id = d.conv_id AND sj.i = d.j
+)
+SELECT conv_id, j, ROUND(MIN(dist), 4) AS mp FROM dists GROUP BY 1, 2
+""",
+        "mp_ab_oracle": f"""
+WITH {_LAT40},
+tl AS (SELECT conv_id, ts, CAST(length(text) AS DOUBLE) AS v FROM transcripts),
+ranked_t AS (
+  SELECT conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts) - 1 AS INT) AS pos, v
+  FROM tl QUALIFY pos < 40
+),
+eligible_t AS (SELECT conv_id FROM ranked_t GROUP BY 1 HAVING COUNT(*) = 40),
+both_c AS (SELECT conv_id FROM eligible INTERSECT SELECT conv_id FROM eligible_t),
+el_a AS (SELECT e.conv_id, e.pos, e.v FROM el e JOIN both_c USING (conv_id)),
+el_t AS (
+  SELECT r.conv_id, r.pos, r.v FROM ranked_t r JOIN both_c USING (conv_id)
+),
+offs_b AS (
+  SELECT conv_id, CAST(unnest(generate_series(0, 32)) AS INT) AS i FROM both_c
+),
+stats_a AS (
+  SELECT o.conv_id, o.i, AVG(e.v) AS mu, STDDEV_POP(e.v) AS sig
+  FROM offs_b o JOIN el_a e ON e.conv_id = o.conv_id AND e.pos >= o.i AND e.pos <= o.i + 7
+  GROUP BY 1, 2
+),
+stats_t AS (
+  SELECT o.conv_id, o.i, AVG(e.v) AS mu, STDDEV_POP(e.v) AS sig
+  FROM offs_b o JOIN el_t e ON e.conv_id = o.conv_id AND e.pos >= o.i AND e.pos <= o.i + 7
+  GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, SUM(av.v * bv.v) AS dot
+  FROM offs_b a
+  JOIN offs_b b ON b.conv_id = a.conv_id
+  JOIN el_a av ON av.conv_id = a.conv_id AND av.pos >= a.i AND av.pos <= a.i + 7
+  JOIN el_t bv ON bv.conv_id = a.conv_id AND bv.pos = b.i + (av.pos - a.i)
+  GROUP BY 1, 2, 3
+),
+dists AS (
+  -- MPX's MuInvN sets 1/sigma to 0 for constant windows
+  -- (util/util.go:99-137) so their correlation contributes 0, unlike
+  -- the unguarded STOMP mass path — mirror that here
+  SELECT d.conv_id, d.i, d.j,
+         SQRT(2*8*(1 - LEAST(
+           CASE WHEN sa.sig = 0 OR st.sig = 0 THEN 0.0
+                ELSE (d.dot - 8*sa.mu*st.mu)/(8*sa.sig*st.sig) END, 1.0))) AS dist
+  FROM dots d
+  JOIN stats_a sa ON sa.conv_id = d.conv_id AND sa.i = d.i
+  JOIN stats_t st ON st.conv_id = d.conv_id AND st.i = d.j
+)
+SELECT conv_id, 'ab' AS direction, CAST(i AS INT) AS "offset", ROUND(MIN(dist), 4) AS mp
+FROM dists GROUP BY 1, 3
+UNION ALL
+SELECT conv_id, 'ba' AS direction, CAST(j AS INT) AS "offset", ROUND(MIN(dist), 4) AS mp
+FROM dists GROUP BY 1, 3
+""",
+        "mp_av_discords_oracle": f"""
+WITH {_LAT40},
+{_SELF_DISTS},
+diffs AS (
+  SELECT conv_id, pos,
+         POWER(lead(v) OVER (PARTITION BY conv_id ORDER BY pos) - v, 2) AS d2
+  FROM el QUALIFY d2 IS NOT NULL
+),
+avr AS (
+  SELECT o.conv_id, o.i, SQRT(SUM(d.d2)) AS ar
+  FROM offs o JOIN diffs d ON d.conv_id = o.conv_id AND d.pos >= o.i AND d.pos <= o.i + 6
+  GROUP BY 1, 2
+),
+avn AS (
+  SELECT conv_id, i,
+         (ar - MIN(ar) OVER (PARTITION BY conv_id)) / MAX(ar) OVER (PARTITION BY conv_id) AS av
+  FROM avr
+),
+rprof AS (
+  SELECT p.conv_id, p.j,
+         ROUND(p.mp + (1 - a.av) * (MAX(p.mp) OVER (PARTITION BY p.conv_id)), 4) AS mp
+  FROM prof p JOIN avn a ON a.conv_id = p.conv_id AND a.i = p.j
+),
+d1 AS (
+  SELECT conv_id, j, mp FROM rprof WHERE mp > 0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY mp DESC, j ASC) = 1
+),
+p2 AS (
+  SELECT p.conv_id, p.j, p.mp FROM rprof p JOIN d1 ON d1.conv_id = p.conv_id
+  WHERE p.j < d1.j - 4 OR p.j >= d1.j + 4
+),
+d2 AS (
+  SELECT conv_id, j, mp FROM p2 WHERE mp > 0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY mp DESC, j ASC) = 1
+),
+p3 AS (
+  SELECT p.conv_id, p.j, p.mp FROM p2 p JOIN d2 ON d2.conv_id = p.conv_id
+  WHERE p.j < d2.j - 4 OR p.j >= d2.j + 4
+),
+d3 AS (
+  SELECT conv_id, j, mp FROM p3 WHERE mp > 0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY mp DESC, j ASC) = 1
+)
+SELECT conv_id, CAST(0 AS INT) AS "rank", CAST(j AS INT) AS idx FROM d1
+UNION ALL SELECT conv_id, CAST(1 AS INT), CAST(j AS INT) FROM d2
+UNION ALL SELECT conv_id, CAST(2 AS INT), CAST(j AS INT) FROM d3
+""",
+        "update_equivalence": f"""
+WITH {_T},
+lat AS (
+  SELECT conv_id,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS v
+  FROM transcripts QUALIFY v IS NOT NULL
+),
+counts AS (
+  SELECT conv_id, COUNT(*) AS n FROM lat
+  WHERE CAST(conv_id AS INT) < 10 GROUP BY 1
+),
+calc AS (
+  SELECT conv_id, CAST(n AS INT) AS n,
+         CAST(FLOOR(n * 0.8) AS INT) AS cut
+  FROM counts
+)
+SELECT conv_id, 'inter_turn_latency_s' AS metric, n,
+       CAST(n - cut AS INT) AS n_new, 0.0 AS max_abs_diff
+FROM calc WHERE cut >= 18 AND n - cut >= 1
 """,
         "compress_roundtrip": f"""
 WITH {_T},

@@ -507,6 +507,14 @@ class MatrixProfile:
         new point's own cell (loop bound len(profile)-1), which is then
         argmin-filled. Equivalence with a full stomp() recompute is the
         reference's own contract (matrixprofile_test.go:706-762).
+
+        Boundary-pair correction (reference artifact NOT replicated,
+        like pmp.go's array overrun): the half-open exclusion zone
+        [idx-z, idx+z) makes the pair (new-z, new) visible only from
+        row new-z — a row Update never recomputes — while the full
+        recompute sees it, so Go's own Update silently violates its
+        equivalence contract whenever the new window's nearest neighbor
+        sits at exactly w/2. We evaluate that single pair explicitly.
         """
         for val in np.atleast_1d(np.asarray(new_values, dtype=np.float64)):
             if self.self_join:
@@ -528,6 +536,26 @@ class MatrixProfile:
             min_idx = int(np.argmin(head)) if head.size else _MAXINT
             self.mp[self.n - self.w] = head[min_idx] if head.size else np.inf
             self.idx[self.n - self.w] = min_idx
+            if self.self_join:
+                zone = self.w // 2
+                q = self.n - self.w
+                p = q - zone
+                if zone > 0 and p >= 0:
+                    w_ = float(self.w)
+                    dot = float(np.dot(self.a[p : p + self.w], self.a[q : q + self.w]))
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        d = np.sqrt(
+                            2.0
+                            * w_
+                            * abs(
+                                1.0
+                                - (dot - w_ * self._b_mean[p] * self._b_mean[q])
+                                / (w_ * self._b_std[p] * self._b_std[q])
+                            )
+                        )
+                    if d < self.mp[q]:
+                        self.mp[q] = d
+                        self.idx[q] = p
         return self
 
     # -------------------------------------------------------------- discovery

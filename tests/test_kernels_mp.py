@@ -214,6 +214,24 @@ class TestUpdate:
         mp.update([0.2, 0.3, 0.4, 0.9])
         self._assert_equals_recompute(mp)
 
+    def test_boundary_pair_at_half_window(self):
+        """Regression: when an appended window's nearest neighbor sits at
+        exactly w/2 before it, the half-open exclusion zone hides the
+        pair from the new row's profile; Go's own Update misses it and
+        violates its equivalence contract. Seed 16 constructs such a
+        neighbor (full.idx[q] == q - w/2 for a post-cut q)."""
+        w, n = 16, 68
+        rng = np.random.default_rng(16)
+        vals = np.abs(rng.normal(30, 20, n)).cumsum() * 0.01 + rng.random(n)
+        cut = int(n * 0.8)
+        full = compute_mp(vals, None, w, MPOpts(algorithm="stomp"))
+        assert any(
+            full.idx[q] == q - w // 2 for q in range(cut - w + 1, n - w + 1)
+        ), "fixture must exercise the boundary pair"
+        inc = compute_mp(vals[:cut].copy(), None, w, MPOpts(algorithm="stomp"))
+        inc.update(vals[cut:])
+        np.testing.assert_allclose(inc.mp, full.mp, atol=1e-9)
+
 
 class TestMPDist:
     # matrixprofile_test.go:128-157: both golden pairs → distance ≈ 0
