@@ -39,6 +39,7 @@ from go_matrixprofile_spark.operators.profile import (
     matrix_profile_chunked,
     mpdist_pairs,
     pan_matrix_profile,
+    pan_matrix_profile_distributed,
     streaming_update_check,
 )
 from go_matrixprofile_spark.sources.transcripts import transcripts_from_events
@@ -436,6 +437,47 @@ def q_mp_ab_oracle(spark, sf_dir):
     )
 
 
+def q_kmp_oracle(spark, sf_dir):
+    """ORACLE-CHECKED k-dimensional matrix profile (mSTOMP,
+    kmp.go:161-212): 2 dims (bounded latency + text-length series on a
+    shared positional grid); per-pair dim distances sort + cumsum
+    across dims, level-d profile = min over rows of the (d+1)-smallest
+    sum / (d+1) — in SQL, a row_number over dims per (i, j) and a
+    running SUM."""
+    from pyspark.sql.window import Window
+
+    lat = _latency40(spark, sf_dir)
+    txt = _textlen40(spark, sf_dir)
+    wpos = Window.partitionBy("conv_id").orderBy("bucket_s")
+    a = lat.select(
+        "conv_id",
+        F.lit("a_lat").alias("dim"),
+        (F.row_number().over(wpos) - 1).cast("double").alias("bucket_s"),
+        "value",
+    )
+    b = txt.select(
+        "conv_id",
+        F.lit("b_text").alias("dim"),
+        (F.row_number().over(wpos) - 1).cast("double").alias("bucket_s"),
+        "value",
+    )
+    both = a.join(b.select("conv_id").distinct(), "conv_id", "left_semi").unionByName(
+        b.join(a.select("conv_id").distinct(), "conv_id", "left_semi")
+    )
+    prof = k_matrix_profile(both, w=8)
+    return prof.select("conv_id", "level", "offset", F.round("mp", 4).alias("mp"))
+
+
+def q_pmp_oracle(spark, sf_dir):
+    """ORACLE-CHECKED pan matrix profile (pmp.go:119-161): one MPX
+    profile per window in [6, 10] over the bounded latency series,
+    computed with (conv, window) task granularity
+    (pan_matrix_profile_distributed) — vs a window-parameterized
+    quadratic SQL twin with MPX's max(1, w/4) exclusion zone."""
+    prof = pan_matrix_profile_distributed(_latency40(spark, sf_dir), 6, 10)
+    return prof.select("conv_id", "w", "offset", F.round("mp", 4).alias("mp"))
+
+
 def q_mp_av_discords_oracle(spark, sf_dir):
     """ORACLE-CHECKED annotation-vector discovery: the complexity AV
     (av/annotation_vector.go:53-80) deweights flat regions —
@@ -600,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp_mpx_oracle": q_mp_mpx_oracle,
         "mp_ab_oracle": q_mp_ab_oracle,
         "mp_av_discords_oracle": q_mp_av_discords_oracle,
+        "pmp_oracle": q_pmp_oracle,
+        "kmp_oracle": q_kmp_oracle,
         "compress_roundtrip": q_compress_roundtrip,
         "mp_transcript_corpus": q_mp_transcript_corpus,
     }
@@ -1031,6 +1075,101 @@ FROM dists GROUP BY 1, 3
 UNION ALL
 SELECT conv_id, 'ba' AS direction, CAST(j AS INT) AS "offset", ROUND(MIN(dist), 4) AS mp
 FROM dists GROUP BY 1, 3
+""",
+        "kmp_oracle": f"""
+WITH {_LAT40},
+tl AS (SELECT conv_id, ts, CAST(length(text) AS DOUBLE) AS v FROM transcripts),
+ranked_t AS (
+  SELECT conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts) - 1 AS INT) AS pos, v
+  FROM tl QUALIFY pos < 40
+),
+eligible_t AS (SELECT conv_id FROM ranked_t GROUP BY 1 HAVING COUNT(*) = 40),
+both_c AS (SELECT conv_id FROM eligible INTERSECT SELECT conv_id FROM eligible_t),
+el_d AS (
+  SELECT e.conv_id, 'a_lat' AS dim, e.pos, e.v FROM el e JOIN both_c USING (conv_id)
+  UNION ALL
+  SELECT r.conv_id, 'b_text' AS dim, r.pos, r.v FROM ranked_t r JOIN both_c USING (conv_id)
+),
+offs_b AS (
+  SELECT conv_id, CAST(unnest(generate_series(0, 32)) AS INT) AS i FROM both_c
+),
+stats_d AS (
+  SELECT e.conv_id, e.dim, o.i, AVG(e.v) AS mu, STDDEV_POP(e.v) AS sig
+  FROM offs_b o
+  JOIN el_d e ON e.conv_id = o.conv_id AND e.pos >= o.i AND e.pos <= o.i + 7
+  GROUP BY 1, 2, 3
+),
+dots_d AS (
+  SELECT av.dim, a.conv_id, a.i AS i, b.i AS j, SUM(av.v * bv.v) AS dot
+  FROM offs_b a
+  JOIN offs_b b ON b.conv_id = a.conv_id
+   AND ((a.i - b.i > 4) OR (b.i - a.i >= 4))
+  JOIN el_d av ON av.conv_id = a.conv_id AND av.pos >= a.i AND av.pos <= a.i + 7
+  JOIN el_d bv ON bv.conv_id = a.conv_id AND bv.dim = av.dim
+   AND bv.pos = b.i + (av.pos - a.i)
+  GROUP BY 1, 2, 3, 4
+),
+dists_d AS (
+  -- mSTOMP divides by sigma with NO zero-guard (kmp.go:191-195): a
+  -- constant window yields IEEE +Inf (numpy). DuckDB's x/0 is NULL, so
+  -- the Inf is written explicitly; Inf-contaminated levels then stay
+  -- Inf through the cumsum exactly like the engine.
+  SELECT d.conv_id, d.dim, d.i, d.j,
+         CASE WHEN si.sig = 0 OR sj.sig = 0 THEN 'Infinity'::DOUBLE
+              ELSE SQRT(2*8*ABS(1 - (d.dot - 8*si.mu*sj.mu)/(8*si.sig*sj.sig)))
+         END AS dist
+  FROM dots_d d
+  JOIN stats_d si ON si.conv_id = d.conv_id AND si.dim = d.dim AND si.i = d.i
+  JOIN stats_d sj ON sj.conv_id = d.conv_id AND sj.dim = d.dim AND sj.i = d.j
+),
+ranked_d AS (
+  SELECT conv_id, i, j, dist,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, i, j ORDER BY dist ASC) AS rk
+  FROM dists_d
+),
+cums AS (
+  SELECT conv_id, i, j,
+         CAST(rk - 1 AS INT) AS level,
+         SUM(dist) OVER (PARTITION BY conv_id, i, j ORDER BY rk) / rk AS scaled
+  FROM ranked_d
+)
+SELECT conv_id, level, CAST(j AS INT) AS "offset", ROUND(MIN(scaled), 4) AS mp
+FROM cums GROUP BY 1, 2, 3
+""",
+        "pmp_oracle": f"""
+WITH {_LAT40},
+wins AS (SELECT CAST(unnest(generate_series(6, 10)) AS INT) AS w),
+offs_w AS (
+  SELECT e.conv_id, wn.w, CAST(unnest(generate_series(0, 40 - wn.w)) AS INT) AS i
+  FROM eligible e, wins wn
+),
+stats_w AS (
+  SELECT o.conv_id, o.w, o.i, AVG(e.v) AS mu, STDDEV_POP(e.v) AS sig
+  FROM offs_w o
+  JOIN el e ON e.conv_id = o.conv_id AND e.pos >= o.i AND e.pos <= o.i + o.w - 1
+  GROUP BY 1, 2, 3
+),
+dots_w AS (
+  SELECT a.conv_id, a.w, a.i AS i, b.i AS j, SUM(av.v * bv.v) AS dot
+  FROM offs_w a
+  JOIN offs_w b ON b.conv_id = a.conv_id AND b.w = a.w
+   AND ABS(a.i - b.i) >= GREATEST(1, a.w // 4)
+  JOIN el av ON av.conv_id = a.conv_id AND av.pos >= a.i AND av.pos <= a.i + a.w - 1
+  JOIN el bv ON bv.conv_id = a.conv_id AND bv.pos = b.i + (av.pos - a.i)
+  GROUP BY 1, 2, 3, 4
+),
+dists_w AS (
+  SELECT d.conv_id, d.w, d.j,
+         SQRT(2*d.w*(1 - LEAST(
+           CASE WHEN si.sig = 0 OR sj.sig = 0 THEN 0.0
+                ELSE (d.dot - d.w*si.mu*sj.mu)/(d.w*si.sig*sj.sig) END, 1.0))) AS dist
+  FROM dots_w d
+  JOIN stats_w si ON si.conv_id = d.conv_id AND si.w = d.w AND si.i = d.i
+  JOIN stats_w sj ON sj.conv_id = d.conv_id AND sj.w = d.w AND sj.i = d.j
+)
+SELECT conv_id, w, CAST(j AS INT) AS "offset", ROUND(MIN(dist), 4) AS mp
+FROM dists_w GROUP BY 1, 2, 3
 """,
         "mp_av_discords_oracle": f"""
 WITH {_LAT40},

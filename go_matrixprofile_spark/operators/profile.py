@@ -559,6 +559,61 @@ def pan_matrix_profile(
     return src.groupBy("conv_id", "metric").applyInPandas(kernel, schema)
 
 
+def pan_matrix_profile_distributed(
+    series: DataFrame, lower_m: int, upper_m: int, opts: MPOpts | None = None
+) -> DataFrame:
+    """Pan-MP with (conv, window) task granularity.
+
+    ``pan_matrix_profile`` computes every window inside ONE per-conv
+    task (faithful to pmp.go:119-161, which loops mp.Compute over
+    windows) — fine for a wide fleet, but a few long conversations
+    leave cores idle while each task grinds through the whole window
+    range. Here the window dimension becomes data: the per-conv array
+    crosses with the broadcast window list (binary_split order +
+    sample_pct truncation, pmp.go:119-121) and each (conv, metric, w)
+    pair is its own task. Output is identical (same kernel per window);
+    only the physical parallelism changes — windows × convs tasks
+    instead of convs.
+    """
+    from ..kernels.util import binary_split
+
+    opts = opts or MPOpts()
+    windows = binary_split(lower_m, upper_m)
+    windows = windows[: int(len(windows) * opts.sample_pct)]
+    if not windows:
+        raise ValueError("Need more than one subsequence window for pmp")
+    assembled = assemble_series(series)
+    spark = series.sparkSession
+    wdf = spark.createDataFrame([(int(x),) for x in windows], "w int")
+    tasks = assembled.crossJoin(F.broadcast(wdf)).repartition(
+        cpu_partitions(series), "conv_id", "metric", "w"
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                vals = np.asarray(row.vals, dtype=np.float64)
+                # same whole-conv gate as pan_matrix_profile: a conv is
+                # in the pan-MP iff it fits the LARGEST window
+                if vals.size < upper_m + 2:
+                    continue
+                w = int(row.w)
+                mp = MatrixProfile(vals, None, w).compute(opts)
+                n = mp.mp.size
+                yield pd.DataFrame(
+                    {
+                        "conv_id": row.conv_id,
+                        "metric": row.metric,
+                        "w": np.int32(w),
+                        "offset": np.arange(n, dtype=np.int32),
+                        "mp": mp.mp,
+                        "idx": mp.idx,
+                    }
+                )
+
+    return tasks.mapInPandas(kernel, MP_SCHEMA)
+
+
 def mpdist_pairs(
     series: DataFrame, w: int, max_convs: int = 20, opts: MPOpts | None = None
 ) -> DataFrame:

@@ -77,3 +77,32 @@ class TestTilePlumbing:
         np.testing.assert_allclose(got["mp"].to_numpy(), want.mp, atol=1e-9)
         mism = int((got["idx"].to_numpy() != want.idx).sum())
         assert mism == 0
+
+
+class TestPanDistributed:
+    def test_equals_per_conv_pan(self, spark):
+        """(conv, window) task granularity produces exactly the per-conv
+        pan-MP (same kernel per window, different physical plan)."""
+        from go_matrixprofile_spark.kernels import siggen
+        from go_matrixprofile_spark.operators.profile import (
+            pan_matrix_profile,
+            pan_matrix_profile_distributed,
+        )
+
+        rows = []
+        for cid in range(3):
+            n = 80 + cid * 17
+            sig = siggen.add(
+                siggen.sin(1.0, 3, 0, 0, 50, n / 50)[:n], siggen.noise(0.2, n, cid)
+            )
+            for i, v in enumerate(sig):
+                rows.append((f"c{cid}", "m", float(i), float(v)))
+        src = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["conv_id", "metric", "bucket_s", "value"])
+        )
+        key = ["conv_id", "metric", "w", "offset"]
+        a = pan_matrix_profile(src, 6, 10).orderBy(key).toPandas()
+        b = pan_matrix_profile_distributed(src, 6, 10).orderBy(key).toPandas()
+        assert len(a) == len(b) > 0
+        np.testing.assert_allclose(a["mp"].to_numpy(), b["mp"].to_numpy(), atol=1e-12)
+        assert (a["idx"].to_numpy() == b["idx"].to_numpy()).all()
