@@ -2,12 +2,20 @@
 
 The engine treats media as `binary` payload columns with typed metadata
 structs, processed by Arrow-batched `mapInPandas` UDFs so bytes never
-cross a per-row Python boundary. The actual decoders (PIL/ffmpeg/etc.)
-are NOT available in this environment, so the decode step is a
-clearly-marked stub: `decode_stub=True` (default) derives deterministic
-fake features from the payload bytes (so plumbing, schemas, batch
-shapes, and partitioning are fully real and testable);
-`decode_stub=False` raises NotImplementedError at the decode site.
+cross a per-row Python boundary.
+
+Two decode tiers:
+- REAL decode for fully-specified byte formats needing no codec
+  library: RIFF/WAV PCM16 (kind='wav') and binary PPM (kind='ppm'),
+  parsed with pure NumPy (functions/media.py) — duration/RMS/ZCR/
+  spectral-centroid and dims/channel-means/luminance-histogram
+  features respectively.
+- STUB for formats that require PIL/ffmpeg (jpeg/mp3/mp4 stand-ins,
+  kinds 'image'/'audio'/'video'): decode_stub=True (default) derives a
+  deterministic signature from payload byte statistics so plumbing,
+  schemas, batch shapes, and partitioning stay fully real and
+  testable; decode_stub=False raises NotImplementedError at the
+  decode site.
 
 Schemas:
   media(doc_id long, kind string, payload binary,
@@ -58,22 +66,39 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media corpus (payload bytes from a seeded RNG)."""
+    """Deterministic media corpus: REAL WAV/PPM payloads (decodable)
+    interleaved with opaque random payloads for the stubbed kinds."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.media import encode_ppm, encode_wav_pcm16
+
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 rng = np.random.default_rng([seed, int(i)])
-                kind = ["image", "audio", "video"][int(i) % 3]
-                size = int(rng.integers(256, 4096))
-                payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
-                meta = {
-                    "width": int(rng.integers(16, 512)) if kind != "audio" else None,
-                    "height": int(rng.integers(16, 512)) if kind != "audio" else None,
-                    "sample_rate": 16000 if kind == "audio" else None,
-                    "n_frames": int(rng.integers(1, 300)) if kind == "video" else None,
-                }
+                kind = ["wav", "ppm", "image", "audio", "video"][int(i) % 5]
+                if kind == "wav":
+                    sr = 8000
+                    dur = float(rng.uniform(0.05, 0.4))
+                    t = np.arange(int(sr * dur)) / sr
+                    freq = float(rng.uniform(100, 1000))
+                    payload = encode_wav_pcm16(0.5 * np.sin(2 * np.pi * freq * t), sr)
+                    meta = {"width": None, "height": None, "sample_rate": sr, "n_frames": None}
+                elif kind == "ppm":
+                    w = int(rng.integers(8, 64))
+                    h = int(rng.integers(8, 64))
+                    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    payload = encode_ppm(px)
+                    meta = {"width": w, "height": h, "sample_rate": None, "n_frames": None}
+                else:
+                    size = int(rng.integers(256, 4096))
+                    payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+                    meta = {
+                        "width": int(rng.integers(16, 512)) if kind != "audio" else None,
+                        "height": int(rng.integers(16, 512)) if kind != "audio" else None,
+                        "sample_rate": 16000 if kind == "audio" else None,
+                        "n_frames": int(rng.integers(1, 300)) if kind == "video" else None,
+                    }
                 rows.append((int(i), kind, payload, meta))
             yield pd.DataFrame(rows, columns=["doc_id", "kind", "payload", "meta"])
 
@@ -92,19 +117,28 @@ def extract_features(
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.media import ppm_features, wav_features
+
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 buf = bytes(row.payload)
-                if not decode_stub:
+                if row.kind == "wav":
+                    feat = np.asarray(wav_features(buf, dim), dtype=np.float32)
+                elif row.kind == "ppm":
+                    feat = np.asarray(ppm_features(buf, dim), dtype=np.float32)
+                elif not decode_stub:
                     raise NotImplementedError(
-                        "real media decode requires PIL/ffmpeg, absent in this image"
+                        "jpeg/mp3/mp4 decode requires PIL/ffmpeg, absent in this image"
                     )
-                arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
-                # deterministic fake embedding: per-chunk byte means
-                chunks = np.array_split(arr, dim)
-                feat = np.array([c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32)
-                feat = (feat - feat.mean()) / (feat.std() + 1e-6)
+                else:
+                    arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
+                    # deterministic fake embedding: per-chunk byte means
+                    chunks = np.array_split(arr, dim)
+                    feat = np.array(
+                        [c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32
+                    )
+                    feat = (feat - feat.mean()) / (feat.std() + 1e-6)
                 out.append(
                     (
                         row.doc_id,

@@ -31,6 +31,82 @@ class TestMultimodal:
         with pytest.raises(Exception):
             extract_features(media, decode_stub=False).count()
 
+    def test_wav_real_decode_through_spark(self, spark):
+        """WAV PCM16 payloads decode for REAL: a pure sine's RMS is
+        amp/sqrt(2) and its spectral centroid sits at the tone."""
+        import pandas as pd
+
+        from go_matrixprofile_spark.functions.media import encode_wav_pcm16
+        from go_matrixprofile_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+        )
+
+        sr, freq, amp = 8000, 440.0, 0.8
+        t = np.arange(sr) / sr  # 1 second
+        payload = encode_wav_pcm16(amp * np.sin(2 * np.pi * freq * t), sr)
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                [(0, "wav", payload, {"width": None, "height": None,
+                                      "sample_rate": sr, "n_frames": None})],
+                columns=["doc_id", "kind", "payload", "meta"],
+            ),
+            schema=MEDIA_SCHEMA,
+        )
+        feat = extract_features(media, dim=16).toPandas()["feature"].iloc[0]
+        dur, rms, zcr, centroid = feat[:4]
+        assert abs(dur - 1.0) < 1e-6
+        assert abs(rms - amp / np.sqrt(2)) < 1e-3
+        assert abs(centroid - freq) < 2.0
+        # ~2 zero crossings per cycle
+        assert abs(zcr - 2 * freq / sr) < 0.01
+
+    def test_ppm_real_decode_through_spark(self, spark):
+        """PPM P6 payloads decode for REAL: dims and channel means are
+        exact, header comments tolerated."""
+        import pandas as pd
+
+        from go_matrixprofile_spark.functions.media import decode_ppm, encode_ppm
+        from go_matrixprofile_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+        )
+
+        px = np.zeros((10, 20, 3), dtype=np.uint8)
+        px[..., 0] = 200  # red-dominant
+        px[..., 1] = 50
+        payload = encode_ppm(px)
+        # roundtrip + comment tolerance
+        np.testing.assert_array_equal(decode_ppm(payload), px)
+        commented = b"P6\n# a comment\n20 10\n255\n" + px.tobytes()
+        np.testing.assert_array_equal(decode_ppm(commented), px)
+
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                [(0, "ppm", payload, {"width": 20, "height": 10,
+                                      "sample_rate": None, "n_frames": None})],
+                columns=["doc_id", "kind", "payload", "meta"],
+            ),
+            schema=MEDIA_SCHEMA,
+        )
+        feat = extract_features(media, dim=16).toPandas()["feature"].iloc[0]
+        w, h, mr, mg, mb = feat[:5]
+        assert (w, h) == (20.0, 10.0)
+        assert (mr, mg, mb) == (200.0, 50.0, 0.0)
+
+    def test_wav_roundtrip_multichannel_and_errors(self):
+        from go_matrixprofile_spark.functions.media import (
+            decode_wav_pcm16,
+            encode_wav_pcm16,
+        )
+
+        x = np.sin(np.arange(100) / 7.0) * 0.3
+        sr, back = decode_wav_pcm16(encode_wav_pcm16(x, 16000))
+        assert sr == 16000
+        np.testing.assert_allclose(back, x, atol=1.0 / 32767)
+        with pytest.raises(ValueError):
+            decode_wav_pcm16(b"nonsense bytes")
+
     def test_frame_sampling(self, spark):
         from go_matrixprofile_spark.operators.multimodal import (
             frame_sample,
