@@ -437,6 +437,82 @@ def q_mp_ab_oracle(spark, sf_dir):
     )
 
 
+def q_mp_motifs_oracle(spark, sf_dir):
+    """ORACLE-CHECKED motif discovery (DiscoverMotifs,
+    matrixprofile.go:1229-1333), one group, neighbor cap 4, radius 2:
+    seed pair = profile argmin + its index, then greedy neighbor adds
+    from the seed's distance profile under exclusion-zone suppression
+    (distance_profile's internal w/2 zone + zones around found members).
+    All comparisons run on 4-decimal-quantized distances on BOTH sides
+    (see q_mp_discords_oracle for why); the distance row itself comes
+    from the real kernel (kernels.mass.distance_profile)."""
+    from pyspark.sql import types as T2
+
+    src = _latency40(spark, sf_dir)
+    prof = matrix_profile(src, w=8, opts=MPOpts(algorithm="stomp"))
+    series_arr = src.groupBy("conv_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket_s", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    prof_arr = prof.groupBy("conv_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("offset", "mp"))), lambda s: s["mp"]
+        ).alias("mps"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("offset", "idx"))), lambda s: s["idx"]
+        ).alias("idxs"),
+    )
+    joined = series_arr.join(prof_arr, "conv_id")
+    schema = T2.StructType(
+        [
+            T2.StructField("conv_id", T2.StringType(), False),
+            T2.StructField("member", T2.IntegerType(), False),
+            T2.StructField("min_dist", T2.DoubleType(), False),
+        ]
+    )
+
+    def kern(it):
+        import numpy as np
+        import pandas as pd
+
+        from go_matrixprofile_spark.kernels.mass import distance_profile
+        from go_matrixprofile_spark.kernels.util import (
+            apply_exclusion_zone,
+            mov_mean_std,
+        )
+
+        w, zone, radius, cap = 8, 4, 2.0, 4
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                vals = np.asarray(row.vals, dtype=np.float64)
+                mp = np.round(np.asarray(row.mps, dtype=np.float64), 4)
+                idxs = np.asarray(row.idxs, dtype=np.int64)
+                s1 = int(np.argmin(mp))  # earliest wins ties
+                s2 = int(idxs[s1])
+                mdist = float(mp[s1])
+                _, b_std = mov_mean_std(vals, w)
+                dist = np.round(
+                    distance_profile(vals, vals, w, s1, b_std, True, None), 4
+                )
+                apply_exclusion_zone(dist, s1, zone)
+                apply_exclusion_zone(dist, s2, zone)
+                members = {s1, s2}
+                while len(members) < cap:
+                    pick = int(np.argmin(dist))
+                    if not (dist[pick] < mdist * radius):
+                        break
+                    members.add(pick)
+                    apply_exclusion_zone(dist, pick, zone)
+                for m in sorted(members):
+                    rows.append((row.conv_id, m, mdist))
+            yield pd.DataFrame(rows, columns=["conv_id", "member", "min_dist"])
+
+    return joined.mapInPandas(kern, schema)
+
+
 def q_kmp_oracle(spark, sf_dir):
     """ORACLE-CHECKED k-dimensional matrix profile (mSTOMP,
     kmp.go:161-212): 2 dims (bounded latency + text-length series on a
@@ -644,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp_av_discords_oracle": q_mp_av_discords_oracle,
         "pmp_oracle": q_pmp_oracle,
         "kmp_oracle": q_kmp_oracle,
+        "mp_motifs_oracle": q_mp_motifs_oracle,
         "compress_roundtrip": q_compress_roundtrip,
         "mp_transcript_corpus": q_mp_transcript_corpus,
     }
@@ -1075,6 +1152,48 @@ FROM dists GROUP BY 1, 3
 UNION ALL
 SELECT conv_id, 'ba' AS direction, CAST(j AS INT) AS "offset", ROUND(MIN(dist), 4) AS mp
 FROM dists GROUP BY 1, 3
+""",
+        "mp_motifs_oracle": f"""
+WITH {_LAT40},
+{_SELF_DISTS},
+prof_idx AS (
+  SELECT conv_id, j, i FROM dists
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id, j ORDER BY dist ASC, i DESC) = 1
+),
+rprof AS (SELECT conv_id, j, ROUND(mp, 4) AS mp FROM prof),
+seed AS (
+  SELECT r.conv_id, r.j AS s1, p.i AS s2, r.mp AS mdist
+  FROM rprof r JOIN prof_idx p ON p.conv_id = r.conv_id AND p.j = r.j
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY r.conv_id ORDER BY r.mp ASC, r.j ASC) = 1
+),
+drow AS (
+  -- the seed's distance row; dists already carries distance_profile's
+  -- internal w/2 zone around i = s1, the s2 zone is applied here
+  SELECT d.conv_id, d.j, ROUND(d.dist, 4) AS dist, s.mdist
+  FROM dists d JOIN seed s ON s.conv_id = d.conv_id AND d.i = s.s1
+  WHERE d.j < s.s2 - 4 OR d.j >= s.s2 + 4
+),
+p1 AS (
+  SELECT conv_id, j AS m1, dist, mdist FROM drow
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY dist ASC, j ASC) = 1
+),
+c1 AS (
+  SELECT d.* FROM drow d
+  JOIN p1 ON p1.conv_id = d.conv_id AND p1.dist < 2 * p1.mdist
+  WHERE d.j < p1.m1 - 4 OR d.j >= p1.m1 + 4
+),
+p2 AS (
+  SELECT conv_id, j AS m2, dist, mdist FROM c1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY dist ASC, j ASC) = 1
+),
+members AS (
+  SELECT conv_id, s1 AS member FROM seed
+  UNION SELECT conv_id, s2 FROM seed
+  UNION SELECT conv_id, m1 FROM p1 WHERE dist < 2 * mdist
+  UNION SELECT conv_id, m2 FROM p2 WHERE dist < 2 * mdist
+)
+SELECT m.conv_id, CAST(m.member AS INT) AS member, s.mdist AS min_dist
+FROM members m JOIN seed s ON s.conv_id = m.conv_id
 """,
         "kmp_oracle": f"""
 WITH {_LAT40},
