@@ -437,6 +437,41 @@ def q_mp_ab_oracle(spark, sf_dir):
     )
 
 
+def q_mp_chunked_oracle(spark, sf_dir):
+    """ORACLE-CHECKED tiled (chunked) matrix profile: the SCAMP-style
+    2-D tile decomposition (operators/profile.matrix_profile_chunked)
+    must reproduce the same values as whole-series MPX — the oracle is
+    the identical quadratic SQL as mp_mpx_oracle."""
+    prof = matrix_profile_chunked(_latency40(spark, sf_dir), w=8, n_batches=4)
+    return prof.select(
+        "conv_id", F.col("offset").alias("j"), F.round("mp", 4).alias("mp")
+    )
+
+
+def q_mp_stamp_oracle(spark, sf_dir):
+    """ORACLE-CHECKED STAMP at sample_pct=1.0 (matrixprofile.go:668-756):
+    random row order is value-irrelevant at full sampling, so the
+    quadratic STOMP SQL is the exact oracle."""
+    prof = matrix_profile(
+        _latency40(spark, sf_dir), w=8, opts=MPOpts(algorithm="stamp")
+    )
+    return prof.select(
+        "conv_id", F.col("offset").alias("j"), F.round("mp", 4).alias("mp")
+    )
+
+
+def q_mp_stmp_oracle(spark, sf_dir):
+    """ORACLE-CHECKED STMP (the naive ordered join,
+    matrixprofile.go:514-544) — same distance semantics as STOMP, same
+    quadratic SQL oracle."""
+    prof = matrix_profile(
+        _latency40(spark, sf_dir), w=8, opts=MPOpts(algorithm="stmp")
+    )
+    return prof.select(
+        "conv_id", F.col("offset").alias("j"), F.round("mp", 4).alias("mp")
+    )
+
+
 def q_mp_motifs_oracle(spark, sf_dir):
     """ORACLE-CHECKED motif discovery (DiscoverMotifs,
     matrixprofile.go:1229-1333), one group, neighbor cap 4, radius 2:
@@ -721,6 +756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmp_oracle": q_pmp_oracle,
         "kmp_oracle": q_kmp_oracle,
         "mp_motifs_oracle": q_mp_motifs_oracle,
+        "mp_chunked_oracle": q_mp_chunked_oracle,
+        "mp_stamp_oracle": q_mp_stamp_oracle,
+        "mp_stmp_oracle": q_mp_stmp_oracle,
         "compress_roundtrip": q_compress_roundtrip,
         "mp_transcript_corpus": q_mp_transcript_corpus,
     }
@@ -799,7 +837,7 @@ shingles AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "series_text_len": f"""
 WITH {_T}
 SELECT conv_id, turn_idx, length(text) AS text_len FROM transcripts
@@ -1372,6 +1410,13 @@ FROM counts GROUP BY conv_id
         "lsh_signatures": _LSH_SIG_SQL,
         "cosine_near_dup": _NEAR_DUP_SQL,
     }
+    # algorithm variants that must agree value-for-value with an
+    # existing quadratic oracle: the tiled/chunked path and MPX share
+    # one spec; STAMP at sample 1.0 and STMP share STOMP's
+    d["mp_chunked_oracle"] = d["mp_mpx_oracle"]
+    d["mp_stamp_oracle"] = d["mp_stomp_oracle"]
+    d["mp_stmp_oracle"] = d["mp_stomp_oracle"]
+    return d
 
 
 _TEXT_QUALITY_SQL = r"""
