@@ -615,19 +615,32 @@ def pan_matrix_profile_distributed(
 
 
 def mpdist_pairs(
-    series: DataFrame, w: int, max_convs: int = 20, opts: MPOpts | None = None
+    series: DataFrame,
+    w: int,
+    max_convs: int = 20,
+    opts: MPOpts | None = None,
+    conv_ids: list[str] | None = None,
 ) -> DataFrame:
     """Conversation-to-conversation MPDist similarity matrix
-    (MPDist, matrixprofile.go:243-338) over the first max_convs convs.
+    (MPDist, matrixprofile.go:243-338).
 
-    Series are assembled per conv (one aggregation), the small
-    conv-level table self-joins (broadcast — it is max_convs rows), and
-    each pair's MPDist runs as one Arrow-batched task.
+    All-pairs MPDist is inherently quadratic in conversations, so the
+    pair space must be bounded: pass an explicit ``conv_ids`` list
+    (broadcast semi-join — no sort, the scale path) or fall back to the
+    first ``max_convs`` by conv_id (orderBy+limit; fine for bounded
+    exploration, not for a full-corpus plan). Series are assembled per
+    conv (one aggregation), the small conv-level table self-joins
+    (broadcast), and each pair's MPDist runs as one Arrow-batched task.
     """
     opts = opts or MPOpts()
+    src = series.select("conv_id", "metric", "bucket_s", "value")
+    if conv_ids is not None:
+        keys = series.sparkSession.createDataFrame(
+            [(c,) for c in conv_ids], "conv_id string"
+        )
+        src = src.join(F.broadcast(keys), "conv_id", "left_semi")
     assembled = (
-        series.select("conv_id", "metric", "bucket_s", "value")
-        .groupBy("conv_id", "metric")
+        src.groupBy("conv_id", "metric")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("bucket_s", "value"))),
@@ -636,7 +649,11 @@ def mpdist_pairs(
         )
         .where(F.size("vals") > w * 2)
     )
-    ranked = assembled.orderBy("conv_id").limit(max_convs)
+    ranked = (
+        assembled
+        if conv_ids is not None
+        else assembled.orderBy("conv_id").limit(max_convs)
+    )
     a = ranked.select(
         F.col("conv_id").alias("a_id"), F.col("metric").alias("metric"), F.col("vals").alias("a_vals")
     )
