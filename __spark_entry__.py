@@ -136,6 +136,19 @@ def q_gapfill_locf(spark, sf_dir):
     )
 
 
+def q_gapfill_interp(spark, sf_dir):
+    """ORACLE-CHECKED linear-interpolation gap-fill: missing buckets take
+    prev + (next-prev)·(t-t_prev)/(t_next-t_prev); LOCF after the last
+    observation (operators/rollup.gap_fill_interpolate)."""
+    t = _transcripts(spark, sf_dir)
+    s = S.turn_rate_series(t, 3600)
+    tier = R.rollup_raw(s, "1h")
+    filled = R.gap_fill_interpolate(tier, 3600, value_col="sum")
+    return filled.select(
+        "conv_id", "bucket_s", F.round("value", 4).alias("value"), "filled"
+    )
+
+
 def q_sessionize(spark, sf_dir):
     return S.sessionize(_transcripts(spark, sf_dir), 1800.0)
 
@@ -721,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h": q_rollup_1h,
         "rollup_1d": q_rollup_1d,
         "gapfill_locf": q_gapfill_locf,
+        "gapfill_interp": q_gapfill_interp,
         "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -917,6 +931,46 @@ SELECT conv_id, b AS bucket_s,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value,
        (v IS NULL) AS filled
 FROM j
+""",
+        "gapfill_interp": f"""
+WITH {_T},
+counts AS (
+  SELECT conv_id, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM transcripts GROUP BY 1, 2
+),
+bounds AS (SELECT conv_id, MIN(b) AS lo, MAX(b) AS hi FROM counts GROUP BY 1),
+grid AS (
+  SELECT conv_id, CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS b
+  FROM bounds
+),
+j AS (
+  SELECT g.conv_id, g.b, c.v
+  FROM grid g LEFT JOIN counts c ON c.conv_id = g.conv_id AND c.b = g.b
+),
+w_ AS (
+  SELECT conv_id, b, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY conv_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY conv_id ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         last_value(CASE WHEN v IS NOT NULL THEN CAST(b AS DOUBLE) END IGNORE NULLS) OVER (
+           PARTITION BY conv_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(CASE WHEN v IS NOT NULL THEN CAST(b AS DOUBLE) END IGNORE NULLS) OVER (
+           PARTITION BY conv_id ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT conv_id, b AS bucket_s,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  WHEN nv IS NOT NULL AND pv IS NOT NULL AND nt <> pt
+                    THEN pv + (nv - pv) * (CAST(b AS DOUBLE) - pt) / (nt - pt)
+                  ELSE COALESCE(pv, nv) END, 4) AS value,
+       (v IS NULL) AS filled
+FROM w_
 """,
         "sessionize": f"""
 WITH {_T},

@@ -152,3 +152,56 @@ class TestStructuredStreaming:
         compact_tier(spark, out_dir)
         assert spark.read.parquet(out_dir).count() == read_tier(spark, out_dir).count()
         check()
+
+
+class TestStatefulStreamingMP:
+    def test_stateful_update_equals_recompute(self, spark, tmp_path):
+        """The reference's Update API as applyInPandasWithState: per-conv
+        GroupState carries the series + profile across micro-batches;
+        the final streamed profile must equal a full batch recompute
+        (matrixprofile_test.go:706-762 through Structured Streaming)."""
+        import pandas as pd
+
+        from go_matrixprofile_spark.kernels.matrix_profile import MatrixProfile, MPOpts
+        from go_matrixprofile_spark.streaming.stateful import (
+            latest_profiles,
+            stream_matrix_profile,
+        )
+
+        w = 8
+        in_dir = str(tmp_path / "pts")
+        out_dir = str(tmp_path / "prof")
+        ckpt = str(tmp_path / "ckpt")
+        rng = np.random.default_rng(5)
+        series = {
+            f"conv-{c}": np.abs(rng.normal(10, 4, 60)) + rng.random(60)
+            for c in range(3)
+        }
+
+        def write_points(lo, hi, mode):
+            rows = []
+            for cid, vals in series.items():
+                for i in range(lo, hi):
+                    rows.append((cid, float(i), float(vals[i])))
+            spark.createDataFrame(
+                pd.DataFrame(rows, columns=["conv_id", "bucket_s", "value"])
+            ).write.mode(mode).parquet(in_dir)
+
+        # batch 1: first 40 points (written before the stream is built —
+        # the file source requires the path to exist)
+        write_points(0, 40, "overwrite")
+        sink = stream_matrix_profile(spark, in_dir, ckpt, w=w)
+        q = sink.format("parquet").option("path", out_dir).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        # batch 2: the remaining 20 stream in
+        write_points(40, 60, "append")
+        q = sink.format("parquet").option("path", out_dir).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        got = latest_profiles(spark, out_dir).orderBy("conv_id", "offset").toPandas()
+        assert set(got["seq"]) == {2}  # second update generation
+        for cid, vals in series.items():
+            want = MatrixProfile(vals, None, w).compute(MPOpts(algorithm="stomp"))
+            g = got[got.conv_id == cid]
+            assert len(g) == want.mp.size
+            np.testing.assert_allclose(g["mp"].to_numpy(), want.mp, atol=1e-9)
