@@ -160,7 +160,9 @@ def matrix_profile_assembled(
     return assembled.mapInPandas(kernel, MP_SCHEMA)
 
 
-def chunked_tile_inputs(src: DataFrame, w: int, k: int) -> DataFrame:
+def chunked_tile_inputs(
+    src: DataFrame, w: int, k: int | None = None, tile_points: int | None = None
+) -> DataFrame:
     """Build the bounded tile-task table for the chunked matrix profile.
 
     src: (conv_id, metric, bucket_s, value). Output: one row per
@@ -172,9 +174,20 @@ def chunked_tile_inputs(src: DataFrame, w: int, k: int) -> DataFrame:
     the two segments per tile via equi-joins. All built-ins; the only
     shuffles are the position sort, the segment aggregation, and the
     two segment joins — each keyed on bounded (conv, metric, seg) keys.
+
+    Tile sizing, exactly one of:
+    - ``tile_points``: FIXED tile width — the scale knob. Per-task work
+      is then ~tile_points² cells regardless of series length, and the
+      tile count grows with the square of length: a 10^8-point
+      conversation decomposes into uniformly-sized tasks instead of k
+      ever-fatter ones. Use this at corpus scale.
+    - ``k``: tiles per side (t_width = ceil(len_a / k)) — task COUNT is
+      fixed per conversation; fine for bounded exploration.
     """
     from pyspark.sql.window import Window
 
+    if (k is None) == (tile_points is None):
+        raise ValueError("pass exactly one of k / tile_points")
     wpos = Window.partitionBy("conv_id", "metric").orderBy("bucket_s")
     pts = src.select(
         "conv_id",
@@ -183,10 +196,16 @@ def chunked_tile_inputs(src: DataFrame, w: int, k: int) -> DataFrame:
         (F.row_number().over(wpos) - 1).alias("pos"),
         F.count("*").over(Window.partitionBy("conv_id", "metric")).alias("n"),
     ).where(F.col("n") >= w + 1)
-    # per-conv tile width: T = ceil(len_a / k), floored at w so the
-    # two-candidate segment assignment below stays valid (w - 1 <= T)
+    # tile width floored at w so the two-candidate segment assignment
+    # below stays valid (w - 1 <= T)
+    if tile_points is not None:
+        t_width_col = F.lit(max(int(tile_points), w)).cast("long")
+    else:
+        t_width_col = F.greatest(
+            F.ceil((F.col("n") - w + 1) / k).cast("long"), F.lit(w)
+        )
     pts = pts.withColumn("len_a", F.col("n") - w + 1).withColumn(
-        "t_width", F.greatest(F.ceil(F.col("len_a") / k).cast("long"), F.lit(w))
+        "t_width", t_width_col
     )
     # point at pos p feeds segment s iff s*T <= p < (s+1)*T + w - 1:
     # candidates are p//T and p//T - 1 (the latter iff p mod T < w - 1)
@@ -249,6 +268,7 @@ def matrix_profile_chunked(
     n_batches: int = 8,
     opts: MPOpts | None = None,
     value_col: str = "value",
+    tile_points: int | None = None,
 ) -> DataFrame:
     """MPX with intra-series parallelism via SCAMP-style 2-D tiles.
 
@@ -272,12 +292,15 @@ def matrix_profile_chunked(
     opts = opts or MPOpts(algorithm="mpx")
     if not opts.euclidean:
         raise ValueError("matrix_profile_chunked emits Euclidean profiles only")
-    # k tiles per side so that k(k+1)/2 ≈ n_batches tasks per conv
-    k = max(1, int(round(((8 * n_batches + 1) ** 0.5 - 1) / 2)))
     src = series.select(
         "conv_id", "metric", "bucket_s", F.col(value_col).alias("value")
     )
-    tile_in = chunked_tile_inputs(src, w, k)
+    if tile_points is not None:
+        tile_in = chunked_tile_inputs(src, w, tile_points=tile_points)
+    else:
+        # k tiles per side so that k(k+1)/2 ≈ n_batches tasks per conv
+        k = max(1, int(round(((8 * n_batches + 1) ** 0.5 - 1) / 2)))
+        tile_in = chunked_tile_inputs(src, w, k=k)
     part_schema = T.StructType(
         [
             T.StructField("conv_id", T.StringType(), False),
@@ -812,10 +835,10 @@ def matrix_profile_auto(
     Mega-threads are the skew hazard of transcript corpora (power-law
     lengths): one giant conversation as a single task stalls the stage.
     Short series (< chunk_threshold points) run whole-series-per-task;
-    long ones run as chunked diagonal batches (one task per
-    DiagBatchingScheme batch) merged by min_by — so the longest
-    conversation contributes n_batches balanced tasks instead of one
-    straggler.
+    long ones run as FIXED-WIDTH 2-D tiles (tile_points =
+    chunk_threshold) — per-task work stays ~chunk_threshold² cells no
+    matter how long the conversation, so a 10^8-point mega-thread
+    becomes many uniform tasks instead of a few ever-fatter ones.
     """
     opts = opts or MPOpts(algorithm="mpx")
     src = series.select(
@@ -827,5 +850,7 @@ def matrix_profile_auto(
     short = src.join(F.broadcast(short_keys), ["conv_id", "metric"], "left_semi")
     long = src.join(F.broadcast(long_keys), ["conv_id", "metric"], "left_semi")
     prof_short = matrix_profile(short, w, opts, min_len=None)
-    prof_long = matrix_profile_chunked(long, w, n_batches=n_batches, opts=opts)
+    prof_long = matrix_profile_chunked(
+        long, w, opts=opts, tile_points=chunk_threshold
+    )
     return prof_short.unionByName(prof_long)

@@ -67,16 +67,17 @@ class TestTilePlumbing:
             }
         )
         src = spark.createDataFrame(pdf)
-        got = (
-            matrix_profile_chunked(src, w=w, n_batches=8)
-            .orderBy("offset")
-            .toPandas()
-        )
         want = MatrixProfile(sig, None, w).compute(MPOpts(algorithm="mpx"))
-        assert len(got) == want.mp.size
-        np.testing.assert_allclose(got["mp"].to_numpy(), want.mp, atol=1e-9)
-        mism = int((got["idx"].to_numpy() != want.idx).sum())
-        assert mism == 0
+        for kwargs in ({"n_batches": 8}, {"tile_points": 3000}):
+            got = (
+                matrix_profile_chunked(src, w=w, **kwargs)
+                .orderBy("offset")
+                .toPandas()
+            )
+            assert len(got) == want.mp.size, kwargs
+            np.testing.assert_allclose(got["mp"].to_numpy(), want.mp, atol=1e-9)
+            mism = int((got["idx"].to_numpy() != want.idx).sum())
+            assert mism == 0, kwargs
 
 
 class TestPanDistributed:
