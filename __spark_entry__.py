@@ -174,6 +174,15 @@ def q_dedup_simhash(spark, sf_dir):
     return DD.simhash(_documents(spark, sf_dir), 16)
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """ORACLE-CHECKED simhash near-dup pairs: banded signature joins
+    (pigeonhole complete for hamming <= 3 with 4 bands) + exact
+    bit_count(xor) verification."""
+    return DD.simhash_near_dup_pairs(
+        _documents(spark, sf_dir), n_bits=32, n_bands=4, max_hamming=3
+    )
+
+
 def q_text_quality(spark, sf_dir):
     return TX.text_quality(_documents(spark, sf_dir))
 
@@ -740,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -1061,6 +1071,38 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
             AS BIGINT) AS simhash
 FROM bits GROUP BY 1
+""",
+        "dedup_simhash_pairs": """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+bits AS (
+  SELECT doc_id, CAST(b.i AS INT) AS bit, SUM(((hv >> CAST(b.i AS INT)) & 1) * 2 - 1) AS s
+  FROM h, generate_series(0, 31) b(i)
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM bits GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, sig, CAST(b.i AS INT) AS band,
+         (sig >> (CAST(b.i AS INT) * 8)) & 255 AS band_bits
+  FROM sigs, generate_series(0, 3) b(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sa, b.sig AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """,
         "text_quality": _TEXT_QUALITY_SQL,
         "token_counts": r"""

@@ -9,9 +9,10 @@ Five strategies, scale-ranked:
                     pairs share a (band, signature) bucket: the scale
                     path (shuffles: shingle explode, 2 aggregations,
                     bucket self-join — all on bounded keys).
-- simhash         — sign-aggregated token-hash bits; near-dups share the
-                    16-bit signature (or differ in ≤k bits via joins on
-                    rotated keys — v1 ships equal-signature buckets).
+- simhash         — sign-aggregated token-hash bits; near-dup pairs by
+                    Hamming distance via banded signature joins
+                    (pigeonhole: ≤d differing bits ⇒ ≥1 exact band when
+                    bands > d) + exact bit_count(xor) verify.
 - embedding cosine near-dup lives in simsearch.py.
 
 Hash function: integer from the first 8 hex chars of md5 — identical in
@@ -204,6 +205,67 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by simhash Hamming distance ≤ max_hamming.
+
+    Banded LSH over the signature bits: two signatures differing in at
+    most d bits must agree EXACTLY on at least one band when
+    n_bands > d (pigeonhole) — so candidates come from equi-joins on
+    (band, band_bits), never an all-pairs scan, and the exact Hamming
+    check (bit_count of xor, JVM built-in) runs only on candidates.
+    Requires n_bands > max_hamming for completeness.
+    """
+    if n_bands <= max_hamming:
+        raise ValueError("need n_bands > max_hamming for pigeonhole completeness")
+    if n_bits % n_bands:
+        raise ValueError("n_bits must divide evenly into n_bands")
+    width = n_bits // n_bands
+    sig = simhash(documents, n_bits)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.band", "e.band_bits")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "a_id", "b_id", hamming.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
 
 
 def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
