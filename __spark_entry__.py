@@ -199,6 +199,13 @@ def q_doc_fingerprint(spark, sf_dir):
     return TX.fingerprint(_documents(spark, sf_dir))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """ORACLE-CHECKED winnowing fingerprints (rolling k-gram hash +
+    per-window minimum): any match of length >= k+window-1 shares a
+    fingerprint; the distinct fp set is the cheap dedup pre-filter."""
+    return TX.winnow_fingerprints(_documents(spark, sf_dir), k=8, window=4)
+
+
 def q_knn_brute_cosine(spark, sf_dir):
     return SS.knn_brute_cosine(_embeddings(spark, sf_dir), n_queries=8, k=5)
 
@@ -206,6 +213,16 @@ def q_knn_brute_cosine(spark, sf_dir):
 def q_knn_lsh_cosine(spark, sf_dir):
     return SS.knn_lsh_cosine(
         _embeddings(spark, sf_dir), n_queries=8, k=5, n_tables=4, band_size=4
+    )
+
+
+def q_knn_ivf_cosine(spark, sf_dir):
+    """ORACLE-CHECKED IVF ANN: deterministic coarse quantizer (first 16
+    vectors as centroids), nearest-centroid assignment (argmax cosine
+    rounded to 6 so ties break identically across engines), query
+    probes its 4 closest cells, exact cosine top-k within them."""
+    return SS.knn_ivf_cosine(
+        _embeddings(spark, sf_dir), n_queries=8, k=5, n_centroids=16, n_probe=4
     )
 
 
@@ -754,8 +771,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "knn_brute_cosine": q_knn_brute_cosine,
         "knn_lsh_cosine": q_knn_lsh_cosine,
+        "knn_ivf_cosine": q_knn_ivf_cosine,
         "lsh_signatures": q_lsh_signatures,
         "cosine_near_dup": q_cosine_near_dup,
         "mp_event_rate": q_mp_event_rate,
@@ -1115,6 +1134,26 @@ FROM documents
         "doc_fingerprint": r"""
 SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
 FROM documents
+""",
+        "winnow_fingerprints": r"""
+WITH grams AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, substr(text, CAST(i AS INT), 8) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        FROM documents)
+  WHERE length(substr(text, CAST(i AS INT), 8)) > 0
+),
+hashed AS (
+  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hv FROM grams
+),
+wins AS (
+  SELECT doc_id, pos,
+         MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM hashed
+)
+SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n - 4
 """,
         "mp_stomp_oracle": f"""
 WITH {_LAT40},
@@ -1503,6 +1542,7 @@ FROM counts GROUP BY conv_id
 """,
         "knn_brute_cosine": _KNN_SQL,
         "knn_lsh_cosine": _KNN_LSH_SQL,
+        "knn_ivf_cosine": _KNN_IVF_SQL,
         "lsh_signatures": _LSH_SIG_SQL,
         "cosine_near_dup": _NEAR_DUP_SQL,
     }
@@ -1658,6 +1698,54 @@ cand AS (
   FROM bsigs a JOIN bsigs b
     ON a.tbl = b.tbl AND a.bucket = b.bucket
    AND a.vec_id < 8 AND a.vec_id <> b.vec_id
+),
+dots AS (
+  SELECT c.qid, c.nid, SUM(da.x * db.x) AS dot
+  FROM cand c
+  JOIN dims da ON da.vec_id = c.qid
+  JOIN dims db ON db.vec_id = c.nid AND db.i = da.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, nid, ROUND(dot / (na.nrm * nb.nrm), 4) AS score
+  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid
+),
+ranked AS (
+  SELECT qid, nid, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid, CAST(rank AS INT) AS rank, nid, score FROM ranked WHERE rank <= 5
+"""
+
+_KNN_IVF_SQL = f"""
+WITH {_DIMS},
+cdots AS (
+  SELECT d.vec_id, c.vec_id AS centroid_id, SUM(d.x * c.x) AS dot
+  FROM dims d JOIN dims c ON c.i = d.i AND c.vec_id < 16
+  GROUP BY 1, 2
+),
+csims AS (
+  SELECT v.vec_id, v.centroid_id,
+         ROUND(v.dot / (na.nrm * nb.nrm), 6) AS sim
+  FROM cdots v
+  JOIN norms na ON na.vec_id = v.vec_id
+  JOIN norms nb ON nb.vec_id = v.centroid_id
+),
+assigns AS (
+  SELECT vec_id, centroid_id FROM csims
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1
+),
+probes AS (
+  SELECT vec_id AS qid, centroid_id FROM csims WHERE vec_id < 8
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) <= 4
+),
+cand AS (
+  SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM probes p JOIN assigns a
+    ON a.centroid_id = p.centroid_id AND a.vec_id <> p.qid
 ),
 dots AS (
   SELECT c.qid, c.nid, SUM(da.x * db.x) AS dot

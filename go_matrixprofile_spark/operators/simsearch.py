@@ -201,6 +201,91 @@ def knn_lsh_cosine(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame, n_centroids: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic centroids + nearest-centroid
+    assignment.
+
+    Centroids are the first n_centroids vectors by vec_id — a
+    deterministic, engine-portable choice (a k-means refinement would
+    orbit these same plans: broadcast centroids, argmax-cosine assign,
+    re-aggregate). Returns (centroids, assignments) where assignments =
+    (vec_id, centroid_id): one broadcast join + per-row argmax over
+    n_centroids cosines, all JVM built-ins.
+    """
+    from pyspark.sql.window import Window
+
+    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(_cosine(F.col("embedding"), F.col("ce")), 6).alias("sim"),
+    )
+    w_ = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    assigns = (
+        scored.withColumn("rn", F.row_number().over(w_))
+        .where("rn = 1")
+        .select("vec_id", "centroid_id")
+    )
+    return cents, assigns
+
+
+def knn_ivf_cosine(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN: exact cosine restricted to the query's n_probe nearest
+    centroid cells. The scale path for embedding search when hyperplane
+    LSH recall is insufficient: cell sizes are ~N/n_centroids, probes
+    bound the scanned fraction to n_probe/n_centroids."""
+    from pyspark.sql.window import Window
+
+    cents, assigns = ivf_assign(embeddings, n_centroids)
+    q_emb = embeddings.where(F.col("vec_id") < n_queries)
+    # query → its n_probe closest centroids
+    probed = q_emb.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias("qid"),
+        "centroid_id",
+        F.round(_cosine(F.col("embedding"), F.col("ce")), 6).alias("sim"),
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        probed.withColumn("rn", F.row_number().over(wp))
+        .where(f"rn <= {n_probe}")
+        .select("qid", "centroid_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigns.select(F.col("vec_id").alias("nid"), "centroid_id"), "centroid_id")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    q = embeddings.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    c = embeddings.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "nid")
+        .select("qid", "nid", F.round(_cosine(F.col("qe"), F.col("ne")), 4).alias("score"))
+    )
+    w_ = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w_))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "score")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

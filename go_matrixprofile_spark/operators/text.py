@@ -122,3 +122,47 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     lowercase text (stable across engines)."""
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     return documents.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): rolling k-gram
+    hashes, each length-`window` hash window contributes its minimum —
+    guaranteeing any match of length >= k + window - 1 shares a
+    fingerprint. Output is the distinct (doc_id, fp) set (positions
+    dropped, which makes the selection tie-free and engine-portable).
+    Plan: posexplode k-grams → md5 hash → sliding min over ONE window
+    sort per doc → distinct. The fingerprint set is ~1/window the size
+    of the shingle set — the cheap pre-filter ahead of exact Jaccard at
+    corpus scale."""
+    from pyspark.sql.window import Window
+
+    grams = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - k + 1, F.lit(1))),
+                lambda i: F.col("text").substr(i, F.lit(k)),
+            )
+        ).alias("pos", "gram"),
+    ).where(F.length("gram") > 0)
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+    hashed = grams.select("doc_id", "pos", h.alias("hv"))
+    w_ = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    n_ = Window.partitionBy("doc_id")
+    return (
+        hashed.select(
+            "doc_id",
+            "pos",
+            F.min("hv").over(w_).alias("fp"),
+            F.count("*").over(n_).alias("n"),
+        )
+        .where(F.col("pos") <= F.col("n") - window)  # full windows only
+        .select("doc_id", "fp")
+        .distinct()
+    )
