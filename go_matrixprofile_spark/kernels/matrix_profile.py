@@ -366,8 +366,11 @@ class MatrixProfile:
         Per-diagonal vectorized: each diagonal is one cumsum + a handful
         of in-cache vector ops over the remaining offsets (the working
         vectors are O(n) and L2-resident, which beats 2-D blocking —
-        measured: large blocks fall out of cache and run 5x slower, and
-        (D×T)-tiled variants with cumsum carry also lose to this loop).
+        measured: large blocks fall out of cache and run 5x slower,
+        (D×T)-tiled variants with cumsum carry also lose, and packing
+        (df, dg) into complex128 to fuse the two cross-multiplies into
+        one Im(z·z') pass loses too: complex multiply computes the
+        unused real part and .imag reads strided).
         Updates preserve Go's exact tie order: strict > in Pearson space
         with diagonals ascending, and within a diagonal the
         diagonal-side touch of a cell precedes its offset-side touch

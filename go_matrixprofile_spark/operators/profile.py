@@ -10,12 +10,19 @@ Two physical strategies (chosen by series length, SURVEY.md §7.4):
    cross-series data parallelism is the scaling axis that matters).
 
 2. ``matrix_profile_chunked`` — intra-series parallelism for mega
-   threads: the MPX diagonal workload is split by DiagBatchingScheme
-   into B balanced batches, each (conv, batch) becomes its own Spark
-   task computing a partial profile, and partials merge with
-   min_by(struct(mp, -batch)) — reproducing the reference's
-   "later batch wins Euclidean ties" channel-merge order
-   (mergeMPResults, matrixprofile.go:607-661) as a shuffle aggregation.
+   threads via SCAMP-style 2-D tiles: the distance matrix's upper
+   triangle splits into blocks, each tile task receives only the two
+   O(T + w) series segments its block touches (never the whole
+   series), computes an exact Pearson-space partial
+   (kernels.mpx_tile_partial), and partials merge with
+   max_by(corr, tie → earliest global diagonal) before one final
+   Pearson→Euclidean conversion. Shuffle volume is O(k·n) per conv and
+   no single row holds a full series, so mega-threads clear both the
+   B×n replication cost and Spark's 2 GiB row ceiling.
+
+``matrix_profile_auto`` routes conversations between the two by
+length; the tile width (= chunk_threshold) fixes per-task work, so
+task count grows with series length instead of task size.
 
 Output schema (FIXTURES.md A.2):
   mp_profile(conv_id, metric, w int, offset int, mp double, idx int)
