@@ -80,6 +80,40 @@ class TestTilePlumbing:
             assert mism == 0, kwargs
 
 
+class TestTileEdgeCases:
+    @pytest.mark.parametrize("n", [9, 17, 33, 64])
+    def test_tiny_and_odd_series(self, spark, n):
+        """Tile decomposition at degenerate sizes: series barely longer
+        than w, lengths not divisible by the tile width — values and
+        indices must still equal the whole-series kernel."""
+        from go_matrixprofile_spark.kernels.matrix_profile import MatrixProfile, MPOpts
+        from go_matrixprofile_spark.operators.profile import matrix_profile_chunked
+
+        w = 8
+        rng = np.random.default_rng(n)
+        sig = rng.normal(0, 1, n).cumsum() + rng.random(n)
+        src = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "conv_id": "c",
+                    "metric": "m",
+                    "bucket_s": np.arange(n, dtype=np.float64),
+                    "value": sig,
+                }
+            )
+        )
+        want = MatrixProfile(sig, None, w).compute(MPOpts(algorithm="mpx"))
+        for kwargs in ({"n_batches": 4}, {"tile_points": 10}):
+            got = (
+                matrix_profile_chunked(src, w=w, **kwargs).orderBy("offset").toPandas()
+            )
+            assert len(got) == want.mp.size, (n, kwargs)
+            np.testing.assert_allclose(
+                got["mp"].to_numpy(), want.mp, atol=1e-9, err_msg=str((n, kwargs))
+            )
+            assert (got["idx"].to_numpy() == want.idx).all(), (n, kwargs)
+
+
 class TestPanDistributed:
     def test_equals_per_conv_pan(self, spark):
         """(conv, window) task granularity produces exactly the per-conv
