@@ -750,6 +750,7 @@ def mpx_tile_partial(
     n_col: int,
     w: int,
     remap_neg_corr: bool = False,
+    self_join: bool = True,
 ):
     """SCAMP-style 2-D tile partial of the MPX self-join.
 
@@ -760,12 +761,21 @@ def mpx_tile_partial(
     (row-range × col-range) blocks and each task receives only the two
     O(T + w) segments its block touches.
 
-    x covers global positions [r0, r0 + n_row + w - 1) of the series;
-    y covers [c0, c0 + n_col + w - 1); c0 >= r0 (upper triangle). The
-    tile computes corr for all pairs (gi, gj) with gi in the row range,
+    Self-join (default): x covers global positions
+    [r0, r0 + n_row + w - 1) of the series; y covers
+    [c0, c0 + n_col + w - 1); c0 >= r0 (upper triangle). The tile
+    computes corr for all pairs (gi, gj) with gi in the row range,
     gj in the col range and gj - gi >= excl = max(1, w//4) — the MPX
-    exclusion zone (matrixprofile.go:998-1001) — using the same
-    difference-stream recurrence as mpxBatch (matrixprofile.go:996-1054):
+    exclusion zone (matrixprofile.go:998-1001).
+
+    AB-join (self_join=False): x is a segment of series A at offset r0,
+    y a segment of series B at offset c0 — independent coordinate
+    systems, ALL pairs valid (no exclusion zone,
+    mpxabBatch/mpxbaBatch matrixprofile.go:1057-1198); mp_row carries
+    A-side partials with B-space neighbor indices and mp_col the
+    reverse.
+
+    Both use the same difference-stream recurrence as mpxBatch:
     local df/dg/mu/sig at position p equal their global values because
     every quantity is window-local. Diagonal seeds come from one FFT
     sliding dot per side (two total). Diagonals are traversed in
@@ -803,8 +813,11 @@ def mpx_tile_partial(
     dfy[1:] = 0.5 * (y[w : w + ly - 1] - y[: ly - 1])
     dgy[1:] = (y[w : w + ly - 1] - muy[1:ly]) + (y[: ly - 1] - muy[: ly - 1])
 
-    off = c0 - r0
-    d_min = max(-(nr - 1), excl - off)
+    if self_join:
+        off = c0 - r0
+        d_min = max(-(nr - 1), excl - off)
+    else:
+        d_min = -(nr - 1)
     d_max = nc - 1
     if d_min > d_max:
         return mp_row, idx_row, mp_col, idx_col

@@ -829,6 +829,136 @@ def matrix_profile_ab(
     )
 
 
+def _ab_segments(src: DataFrame, w: int, t_w: int, side: str) -> DataFrame:
+    """Overlapping fixed-width segments of one AB-join side:
+    (conv_id, seg, vals, len_p) with vals bounded by t_w + w - 1."""
+    from pyspark.sql.window import Window
+
+    wpos = Window.partitionBy("conv_id").orderBy("bucket_s")
+    pts = src.select(
+        "conv_id",
+        "value",
+        (F.row_number().over(wpos) - 1).alias("pos"),
+        F.count("*").over(Window.partitionBy("conv_id")).alias("n"),
+    ).where(F.col("n") >= w + 1)
+    pts = pts.withColumn("len_p", F.col("n") - w + 1)
+    s_hi = (F.col("pos") / t_w).cast("long")
+    seg_candidates = F.array(
+        F.when(s_hi < F.ceil(F.col("len_p") / t_w).cast("long"), s_hi),
+        F.when((s_hi >= 1) & (F.col("pos") % t_w < w - 1), s_hi - 1),
+    )
+    seg_pts = pts.select(
+        "conv_id",
+        "value",
+        "pos",
+        "len_p",
+        F.explode(F.filter(seg_candidates, lambda s: s.isNotNull())).alias("seg"),
+    )
+    return seg_pts.groupBy("conv_id", "seg").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "value"))), lambda s: s["value"]
+        ).alias(f"{side}_vals"),
+        F.first("len_p").alias(f"{side}_len"),
+    )
+
+
+def matrix_profile_ab_chunked(
+    series_a: DataFrame,
+    series_b: DataFrame,
+    w: int,
+    tile_points: int = 4096,
+) -> DataFrame:
+    """Tiled AB-join matrix profile: the full A-offsets × B-offsets
+    rectangle splits into fixed-width tiles; each task receives one
+    O(T+w) segment per side (kernels.mpx_tile_partial with
+    self_join=False — no exclusion zone, both directions). Same scale
+    contract as the self-join tiles: per-task work ~tile_points² cells,
+    shuffle volume O((na+nb)·k), no whole-series rows. Output matches
+    matrix_profile_ab: (conv_id, direction ab|ba, w, offset, mp, idx).
+    """
+    t_w = max(int(tile_points), w)
+    a_src = series_a.select("conv_id", "bucket_s", "value")
+    b_src = series_b.select("conv_id", "bucket_s", "value")
+    a_segs = _ab_segments(a_src, w, t_w, "a")
+    b_segs = _ab_segments(b_src, w, t_w, "b")
+    tiles = (
+        a_segs.withColumnRenamed("seg", "r")
+        .join(b_segs.withColumnRenamed("seg", "c"), "conv_id")
+        .repartition(cpu_partitions(series_a), "conv_id", "r", "c")
+    )
+
+    part_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("direction", T.StringType(), False),
+            T.StructField("offset", T.IntegerType(), False),
+            T.StructField("corr", T.DoubleType(), True),
+            T.StructField("idx", T.LongType(), True),
+        ]
+    )
+
+    def tile_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.matrix_profile import mpx_tile_partial
+
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                r0 = int(row.r) * t_w
+                c0 = int(row.c) * t_w
+                n_row = min(t_w, int(row.a_len) - r0)
+                n_col = min(t_w, int(row.b_len) - c0)
+                if n_row <= 0 or n_col <= 0:
+                    continue
+                mpr, idr, mpc, idc = mpx_tile_partial(
+                    np.asarray(row.a_vals, dtype=np.float64),
+                    np.asarray(row.b_vals, dtype=np.float64),
+                    r0,
+                    c0,
+                    n_row,
+                    n_col,
+                    w,
+                    self_join=False,
+                )
+                yield pd.concat(
+                    [
+                        pd.DataFrame(
+                            {
+                                "conv_id": row.conv_id,
+                                "direction": "ab",
+                                "offset": np.arange(r0, r0 + mpr.size, dtype=np.int32),
+                                "corr": mpr,
+                                "idx": idr,
+                            }
+                        ),
+                        pd.DataFrame(
+                            {
+                                "conv_id": row.conv_id,
+                                "direction": "ba",
+                                "offset": np.arange(c0, c0 + mpc.size, dtype=np.int32),
+                                "corr": mpc,
+                                "idx": idc,
+                            }
+                        ),
+                    ],
+                    ignore_index=True,
+                )
+
+    partials = tiles.mapInPandas(tile_kernel, part_schema)
+    merged = partials.groupBy("conv_id", "direction", "offset").agg(
+        F.max_by(
+            F.struct("corr", "idx"),
+            F.struct(F.col("corr"), (-F.col("idx")).alias("ni")),
+        ).alias("best")
+    )
+    return merged.select(
+        "conv_id",
+        "direction",
+        F.lit(w).cast("int").alias("w"),
+        "offset",
+        F.sqrt(2.0 * w * (1.0 - F.least(F.col("best.corr"), F.lit(1.0)))).alias("mp"),
+        F.col("best.idx").alias("idx"),
+    )
+
+
 def matrix_profile_auto(
     series: DataFrame,
     w: int,

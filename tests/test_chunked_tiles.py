@@ -114,6 +114,54 @@ class TestTileEdgeCases:
             assert (got["idx"].to_numpy() == want.idx).all(), (n, kwargs)
 
 
+class TestABChunked:
+    def test_ab_tiles_equal_whole(self, spark):
+        """Tiled AB-join reproduces matrix_profile_ab values exactly
+        (both directions), with bounded per-task segments."""
+        from go_matrixprofile_spark.kernels import siggen
+        from go_matrixprofile_spark.operators.profile import (
+            matrix_profile_ab,
+            matrix_profile_ab_chunked,
+        )
+
+        w = 12
+        rows_a, rows_b = [], []
+        for cid in range(2):
+            na, nb = 300 + cid * 41, 240 + cid * 17
+            a = siggen.add(
+                siggen.sin(1.0, 4, 0, 0, 60, na / 60)[:na], siggen.noise(0.3, na, cid)
+            )
+            b = siggen.add(
+                siggen.sin(0.7, 6, 1, 0, 60, nb / 60)[:nb],
+                siggen.noise(0.3, nb, cid + 10),
+            )
+            rows_a += [(f"c{cid}", float(i), float(v)) for i, v in enumerate(a)]
+            rows_b += [(f"c{cid}", float(i), float(v)) for i, v in enumerate(b)]
+        cols = ["conv_id", "bucket_s", "value"]
+        src_a = spark.createDataFrame(pd.DataFrame(rows_a, columns=cols))
+        src_b = spark.createDataFrame(pd.DataFrame(rows_b, columns=cols))
+        key = ["conv_id", "direction", "offset"]
+        want = (
+            matrix_profile_ab(
+                src_a.withColumn("metric", F.lit("m")),
+                src_b.withColumn("metric", F.lit("m")),
+                w=w,
+            )
+            .orderBy(key)
+            .toPandas()
+        )
+        got = (
+            matrix_profile_ab_chunked(src_a, src_b, w=w, tile_points=100)
+            .orderBy(key)
+            .toPandas()
+        )
+        assert len(got) == len(want) > 0
+        np.testing.assert_allclose(
+            got["mp"].to_numpy(), want["mp"].to_numpy(), atol=1e-9
+        )
+        assert (got["idx"].to_numpy() == want["idx"].to_numpy()).all()
+
+
 class TestPanDistributed:
     def test_equals_per_conv_pan(self, spark):
         """(conv, window) task granularity produces exactly the per-conv
