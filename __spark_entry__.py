@@ -628,6 +628,20 @@ def q_pmp_oracle(spark, sf_dir):
     return prof.select("conv_id", "w", "offset", F.round("mp", 4).alias("mp"))
 
 
+def q_mp_ab_chunked_oracle(spark, sf_dir):
+    """ORACLE-CHECKED tiled AB-join: matrix_profile_ab_chunked must
+    reproduce the same values as the whole-series AB join — the oracle
+    is the identical quadratic SQL as mp_ab_oracle."""
+    from go_matrixprofile_spark.operators.profile import matrix_profile_ab_chunked
+
+    prof = matrix_profile_ab_chunked(
+        _latency40(spark, sf_dir), _textlen40(spark, sf_dir), w=8, tile_points=16
+    )
+    return prof.select(
+        "conv_id", "direction", "offset", F.round("mp", 4).alias("mp")
+    )
+
+
 def q_mp_av_discords_oracle(spark, sf_dir):
     """ORACLE-CHECKED annotation-vector discovery: the complexity AV
     (av/annotation_vector.go:53-80) deweights flat regions —
@@ -800,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmp_oracle": q_kmp_oracle,
         "mp_motifs_oracle": q_mp_motifs_oracle,
         "mp_chunked_oracle": q_mp_chunked_oracle,
+        "mp_ab_chunked_oracle": q_mp_ab_chunked_oracle,
         "mp_stamp_oracle": q_mp_stamp_oracle,
         "mp_stmp_oracle": q_mp_stmp_oracle,
         "compress_roundtrip": q_compress_roundtrip,
@@ -1550,6 +1565,7 @@ FROM counts GROUP BY conv_id
     # existing quadratic oracle: the tiled/chunked path and MPX share
     # one spec; STAMP at sample 1.0 and STMP share STOMP's
     d["mp_chunked_oracle"] = d["mp_mpx_oracle"]
+    d["mp_ab_chunked_oracle"] = d["mp_ab_oracle"]
     d["mp_stamp_oracle"] = d["mp_stomp_oracle"]
     d["mp_stmp_oracle"] = d["mp_stomp_oracle"]
     return d
