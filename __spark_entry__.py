@@ -615,7 +615,10 @@ def q_kmp_oracle(spark, sf_dir):
         b.join(a.select("conv_id").distinct(), "conv_id", "left_semi")
     )
     prof = k_matrix_profile(both, w=8)
-    return prof.select("conv_id", "level", "offset", F.round("mp", 4).alias("mp"))
+    # ROUND 3 (not 4): the level-d profile sums d+1 distances, amplifying
+    # float error to ~1e-7 — at 4 decimals a rounding-boundary straddle
+    # appears roughly once per 1e5 rows (observed at sf0.1)
+    return prof.select("conv_id", "level", "offset", F.round("mp", 3).alias("mp"))
 
 
 def q_pmp_oracle(spark, sf_dir):
@@ -1441,7 +1444,7 @@ cums AS (
          SUM(dist) OVER (PARTITION BY conv_id, i, j ORDER BY rk) / rk AS scaled
   FROM ranked_d
 )
-SELECT conv_id, level, CAST(j AS INT) AS "offset", ROUND(MIN(scaled), 4) AS mp
+SELECT conv_id, level, CAST(j AS INT) AS "offset", ROUND(MIN(scaled), 3) AS mp
 FROM cums GROUP BY 1, 2, 3
 """,
         "pmp_oracle": f"""
