@@ -101,6 +101,15 @@ class KMP:
             self.idx[m] = idx
         return self
 
+    def visualize(self, filepath: str) -> None:
+        """Render per-dim signals + per-level profiles to SVG
+        (KMP.Visualize, kmp.go:290-302; plotKMP, visualize.go:129-164)."""
+        if self.mp is None:
+            raise ValueError("k-dimensional matrix profile is not computed yet")
+        from ..functions.visualize import render_kmp_svg
+
+        render_kmp_svg(self.t, self.mp, self.w, filepath)
+
     def to_json(self) -> str:
         """JSON snapshot (kmp.go:88-130)."""
         return json.dumps(

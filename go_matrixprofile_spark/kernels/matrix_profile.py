@@ -672,6 +672,19 @@ class MatrixProfile:
         discords = self.discover_discords(ao.k_discords, self.w // 2)
         return motifs, discords
 
+    def visualize(self, filepath: str) -> None:
+        """Render signal + profile + motif/discord markers to SVG
+        (Visualize, matrixprofile.go:1406-1429; plotMP,
+        visualize.go:86-127 — PNG via gonum/plot there, dependency-free
+        SVG here)."""
+        if self.mp is None:
+            raise ValueError("matrix profile is not computed yet")
+        from ..functions.visualize import render_profile_svg
+
+        render_profile_svg(
+            self.a, self.mp, self.w, self.motifs, self.discords, filepath
+        )
+
     # ------------------------------------------------------------- persistence
 
     def to_json(self) -> str:

@@ -73,6 +73,15 @@ class PMP:
             self.pidx[level][: mp.idx.size] = mp.idx
         return self
 
+    def visualize(self, filepath: str) -> None:
+        """Render the pan-profile heat panel (one row per window) to SVG."""
+        if not self.pmp:
+            raise ValueError("pan matrix profile is not computed yet")
+        from ..functions.visualize import render_pmp_svg
+
+        windows = list(range(self.lower_m, self.upper_m + 1))
+        render_pmp_svg(self.pmp, windows, filepath)
+
     def to_json(self) -> str:
         """JSON snapshot (pmp.go:47-89)."""
         return json.dumps(
