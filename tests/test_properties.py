@@ -28,10 +28,13 @@ def _well_conditioned(vals, w) -> bool:
     from go_matrixprofile_spark.kernels.util import mov_mean_std
 
     means, stds = mov_mean_std(vals, w)
+    # near-zero distances carry sqrt-AMPLIFIED cancellation noise:
+    # err(dist) ~ sqrt((mu/sigma)^2 * w * eps) — ratio 100 bounds it
+    # near 4e-6, giving the 1e-4 assertions a ~25x margin
     return (
         bool(np.isfinite(stds).all())
         and stds.min() >= 1e-9
-        and (np.abs(means).max() + 1.0) / stds.min() <= 1e3
+        and (np.abs(means).max() + 1.0) / stds.min() <= 100.0
     )
 
 
@@ -85,11 +88,11 @@ class TestProfileInvariants:
             MPOpts(algorithm="stamp", sample_pct=0.5, seed=3)
         )
         both = np.isfinite(full.mp) & np.isfinite(half.mp)
-        assert (half.mp[both] >= full.mp[both] - 1e-6).all()
+        assert (half.mp[both] >= full.mp[both] - 1e-4).all()
         one = MatrixProfile(vals, None, w).compute(
             MPOpts(algorithm="stamp", sample_pct=1.0)
         )
-        np.testing.assert_allclose(one.mp, full.mp, atol=1e-7, equal_nan=True)
+        np.testing.assert_allclose(one.mp, full.mp, atol=1e-4, equal_nan=True)
 
     @settings(max_examples=30, deadline=None)
     @given(series(min_n=24), st.integers(min_value=2, max_value=6),
@@ -103,7 +106,7 @@ class TestProfileInvariants:
         )
         inc.update(vals[cut:])
         full = MatrixProfile(vals, None, w).compute(MPOpts(algorithm="stomp"))
-        np.testing.assert_allclose(inc.mp, full.mp, atol=1e-6, equal_nan=True)
+        np.testing.assert_allclose(inc.mp, full.mp, atol=1e-4, equal_nan=True)
 
 
 class TestConversions:
