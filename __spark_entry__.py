@@ -386,10 +386,14 @@ def _greedy_top3_discords(prof: DataFrame, zone: int = 4) -> DataFrame:
     """Distributed greedy top-3 argmax with exclusion-zone suppression
     (DiscoverDiscords, matrixprofile.go:1338-1374) over a quantized
     profile (conv_id, offset, mp already rounded). Ties break on the
-    lower offset — deterministic and engine-portable."""
+    lower offset — deterministic and engine-portable.
+
+    No persist: the filtered profile is ~33 rows per conversation at
+    oracle scale, and two oracle queries call this per run — caching it
+    would leak blocks across the sweep (r02 advisor finding)."""
     from pyspark.sql.window import Window
 
-    cur = prof.where("mp > 0 AND NOT isnan(mp)").persist()
+    cur = prof.where("mp > 0 AND NOT isnan(mp)")
     order = Window.partitionBy("conv_id").orderBy(
         F.col("mp").desc(), F.col("offset").asc()
     )
@@ -506,6 +510,47 @@ def q_mp_stmp_oracle(spark, sf_dir):
     prof = matrix_profile(
         _latency40(spark, sf_dir), w=8, opts=MPOpts(algorithm="stmp")
     )
+    return prof.select(
+        "conv_id", F.col("offset").alias("j"), F.round("mp", 4).alias("mp")
+    )
+
+
+def _textlen256(spark, sf_dir):
+    """Bounded 256-point series for the accumulation-scale oracle: events
+    grouped by user_id % 4 (four long synthetic conversations), ordered by
+    (ts, event_id), first 256 text lengths per group. Raw conversations top
+    out near 90 turns, so the mod-grouping is the deterministic way to get
+    a 256-point noisy series both engines derive identically."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    g = ev.select(
+        (F.col("user_id") % 4).cast("string").alias("conv_id"),
+        F.length("props").cast("double").alias("value"),
+        "ts",
+        "event_id",
+    )
+    w256 = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    ranked = g.withColumn("rn", F.row_number().over(w256)).where("rn <= 256")
+    eligible = (
+        ranked.groupBy("conv_id").agg(F.count("*").alias("n")).where("n = 256")
+    )
+    return ranked.join(eligible.select("conv_id"), "conv_id").select(
+        "conv_id",
+        F.lit("text_len").alias("metric"),
+        (F.col("rn") - 1).cast("double").alias("bucket_s"),
+        "value",
+    )
+
+
+def q_mp_mpx_oracle_256(spark, sf_dir):
+    """ORACLE-CHECKED MPX at the accumulation scale the n=40 twins can't
+    reach: n=256, w=64 (exclusion zone max(1, w/4) = 16, 193 offsets per
+    series). The diagonal recurrence accumulates ~193 incremental updates
+    per diagonal here vs ~33 in the w=8 twins, so a drifting update term
+    or mis-seeded c0 that hides below ROUND(4) at n=40 surfaces. Oracle is
+    the same quadratic SQL shape as mp_mpx_oracle with w=64 stats."""
+    prof = matrix_profile(_textlen256(spark, sf_dir), w=64, opts=MPOpts(algorithm="mpx"))
     return prof.select(
         "conv_id", F.col("offset").alias("j"), F.round("mp", 4).alias("mp")
     )
@@ -769,7 +814,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries so every query fits the driver's 50-row
+    correctness table (round 2 exposed 52 and the last two fell off).
+    Value-checked (oracle-backed) queries come first; the rows-only
+    full-scale variants sit at the tail. Three r02 rows-only entries
+    whose operators are value-checked by bounded twins were trimmed to
+    make room: mp_stomp_event_rate (mp_stomp_oracle), mp_chunked
+    (mp_chunked_oracle), mp_av_discords (mp_av_discords_oracle) — the
+    query functions remain importable for ad-hoc use."""
     return {
+        # ---- value-checked vs the DuckDB oracle (41) ----
         "series_text_len": q_series_text_len,
         "series_latency": q_series_latency,
         "series_turn_rate": q_series_turn_rate,
@@ -794,23 +848,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_cosine": q_knn_ivf_cosine,
         "lsh_signatures": q_lsh_signatures,
         "cosine_near_dup": q_cosine_near_dup,
-        "mp_event_rate": q_mp_event_rate,
-        "mp_stomp_event_rate": q_mp_stomp_event_rate,
-        "mp_chunked": q_mp_chunked,
-        "mp_discords": q_mp_discords,
-        "mp_motifs": q_mp_motifs,
-        "mp_segments": q_mp_segments,
-        "kmp_event_types": q_kmp_event_types,
-        "pmp_event_rate": q_pmp_event_rate,
-        "mpdist_pairs": q_mpdist_pairs,
         "update_equivalence": q_update_equivalence,
-        "mp_ab_join": q_mp_ab_join,
-        "mp_av_discords": q_mp_av_discords,
+        "compress_roundtrip": q_compress_roundtrip,
         "mp_stomp_oracle": q_mp_stomp_oracle,
         "mp_discords_oracle": q_mp_discords_oracle,
         "mp_segments_oracle": q_mp_segments_oracle,
         "mpdist_oracle": q_mpdist_oracle,
         "mp_mpx_oracle": q_mp_mpx_oracle,
+        "mp_mpx_oracle_256": q_mp_mpx_oracle_256,
         "mp_ab_oracle": q_mp_ab_oracle,
         "mp_av_discords_oracle": q_mp_av_discords_oracle,
         "pmp_oracle": q_pmp_oracle,
@@ -820,7 +865,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp_ab_chunked_oracle": q_mp_ab_chunked_oracle,
         "mp_stamp_oracle": q_mp_stamp_oracle,
         "mp_stmp_oracle": q_mp_stmp_oracle,
-        "compress_roundtrip": q_compress_roundtrip,
+        # ---- full-scale variants, rows-only by design (9) ----
+        "mp_event_rate": q_mp_event_rate,
+        "mp_discords": q_mp_discords,
+        "mp_motifs": q_mp_motifs,
+        "mp_segments": q_mp_segments,
+        "kmp_event_types": q_kmp_event_types,
+        "pmp_event_rate": q_pmp_event_rate,
+        "mpdist_pairs": q_mpdist_pairs,
+        "mp_ab_join": q_mp_ab_join,
         "mp_transcript_corpus": q_mp_transcript_corpus,
     }
 
@@ -1285,6 +1338,48 @@ dists AS (
          SQRT(2*8*(1 - LEAST(
            CASE WHEN si.sig = 0 OR sj.sig = 0 THEN 0.0
                 ELSE (d.dot - 8*si.mu*sj.mu)/(8*si.sig*sj.sig) END, 1.0))) AS dist
+  FROM dots d
+  JOIN stats si ON si.conv_id = d.conv_id AND si.i = d.i
+  JOIN stats sj ON sj.conv_id = d.conv_id AND sj.i = d.j
+)
+SELECT conv_id, j, ROUND(MIN(dist), 4) AS mp FROM dists GROUP BY 1, 2
+""",
+        "mp_mpx_oracle_256": """
+WITH g AS (
+  SELECT CAST(user_id % 4 AS VARCHAR) AS conv_id,
+         CAST(length(props) AS DOUBLE) AS v, ts, event_id
+  FROM events
+),
+ranked AS (
+  SELECT conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1 AS INT) AS pos,
+         v
+  FROM g QUALIFY pos < 256
+),
+eligible AS (SELECT conv_id FROM ranked GROUP BY 1 HAVING COUNT(*) = 256),
+el AS (SELECT r.conv_id, r.pos, r.v FROM ranked r JOIN eligible USING (conv_id)),
+offs AS (
+  SELECT conv_id, CAST(unnest(generate_series(0, 192)) AS INT) AS i FROM eligible
+),
+stats AS (
+  SELECT o.conv_id, o.i, AVG(e.v) AS mu, STDDEV_POP(e.v) AS sig
+  FROM offs o JOIN el e ON e.conv_id = o.conv_id AND e.pos >= o.i AND e.pos <= o.i + 63
+  GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, SUM(av.v * bv.v) AS dot
+  FROM offs a
+  JOIN offs b ON b.conv_id = a.conv_id AND ABS(a.i - b.i) >= 16
+  JOIN el av ON av.conv_id = a.conv_id AND av.pos >= a.i AND av.pos <= a.i + 63
+  JOIN el bv ON bv.conv_id = a.conv_id AND bv.pos = b.i + (av.pos - a.i)
+  GROUP BY 1, 2, 3
+),
+dists AS (
+  -- MuInvN zero-sigma guard: constant windows contribute corr 0
+  SELECT d.conv_id, d.j,
+         SQRT(2*64*(1 - LEAST(
+           CASE WHEN si.sig = 0 OR sj.sig = 0 THEN 0.0
+                ELSE (d.dot - 64*si.mu*sj.mu)/(64*si.sig*sj.sig) END, 1.0))) AS dist
   FROM dots d
   JOIN stats si ON si.conv_id = d.conv_id AND si.i = d.i
   JOIN stats sj ON sj.conv_id = d.conv_id AND sj.i = d.j
