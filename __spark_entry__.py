@@ -253,7 +253,9 @@ def q_mp_stomp_event_rate(spark, sf_dir):
 def q_mp_chunked(spark, sf_dir):
     filled = _hourly_rate_filled(spark, sf_dir)
     sub = filled.where(F.col("conv_id").cast("int") < 20)
-    return matrix_profile_chunked(sub, w=24, n_batches=4)
+    # gap-filled hourly tier is a regular grid: positions derive
+    # arithmetically (no per-conv row_number sort)
+    return matrix_profile_chunked(sub, w=24, n_batches=4, grid_step=3600)
 
 
 def q_mp_discords(spark, sf_dir):

@@ -556,7 +556,11 @@ class MatrixProfile:
                                 / (w_ * self._b_std[p] * self._b_std[q])
                             )
                         )
-                    if d < self.mp[q]:
+                    # <= so an exact tie resolves to p: the recompute's
+                    # STOMP merge is latest-row-wins (<=), and every head
+                    # candidate for window q is a row j < q - zone = p, so
+                    # on a tie the recompute reports p (r02 advisor item)
+                    if d <= self.mp[q]:
                         self.mp[q] = d
                         self.idx[q] = p
         return self

@@ -24,7 +24,6 @@ oracle-checkable.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window as W
 
 MERSENNE = 2147483647  # 2^31-1, modulus for the affine min-hash family
 
@@ -86,11 +85,18 @@ def ngram_jaccard_pairs(
     docs = documents if max_doc_id is None else documents.where(F.col("doc_id") < max_doc_id)
     sh = shingles(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    rare = (
-        sh.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
+    # document frequency via groupBy + join, NOT a frameless window: the
+    # partial counts combine map-side, and a stop-shingle is dropped from
+    # the join's build side before any of its rows fan out — a
+    # Window.partitionBy("shingle") would instead route the hot key's
+    # entire row set through one task just to discard it
+    rare_shingles = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
         .where(F.col("df") <= max_df)
-        .drop("df")
+        .select("shingle")
     )
+    rare = sh.join(rare_shingles, "shingle")
     a = rare.alias("a")
     b = rare.alias("b")
     cand = (

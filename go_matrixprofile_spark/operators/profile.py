@@ -168,7 +168,11 @@ def matrix_profile_assembled(
 
 
 def chunked_tile_inputs(
-    src: DataFrame, w: int, k: int | None = None, tile_points: int | None = None
+    src: DataFrame,
+    w: int,
+    k: int | None = None,
+    tile_points: int | None = None,
+    grid_step: int | None = None,
 ) -> DataFrame:
     """Build the bounded tile-task table for the chunked matrix profile.
 
@@ -190,19 +194,66 @@ def chunked_tile_inputs(
       ever-fatter ones. Use this at corpus scale.
     - ``k``: tiles per side (t_width = ceil(len_a / k)) — task COUNT is
       fixed per conversation; fine for bounded exploration.
+
+    ``grid_step``: declare the input a regular grid with this bucket_s
+    spacing (e.g. 3600 for a gap-filled hourly tier). Positions are then
+    derived ARITHMETICALLY — pos = (bucket_s - min_bucket)/step via one
+    aggregate + a shuffled join — instead of a per-(conv, metric)
+    row_number sort, whose single sort task is the last whole-series
+    bottleneck for a 10^8-point mega-thread. Regularity is verified per
+    group (distinct count, span, single residue class); groups that fail
+    fall back to the window sort, so a wrong ``grid_step`` degrades to
+    the slow-but-correct path rather than mis-positioning points.
     """
     from pyspark.sql.window import Window
 
     if (k is None) == (tile_points is None):
         raise ValueError("pass exactly one of k / tile_points")
-    wpos = Window.partitionBy("conv_id", "metric").orderBy("bucket_s")
-    pts = src.select(
-        "conv_id",
-        "metric",
-        "value",
-        (F.row_number().over(wpos) - 1).alias("pos"),
-        F.count("*").over(Window.partitionBy("conv_id", "metric")).alias("n"),
-    ).where(F.col("n") >= w + 1)
+
+    def _window_pos(s: DataFrame) -> DataFrame:
+        wpos = Window.partitionBy("conv_id", "metric").orderBy("bucket_s")
+        return s.select(
+            "conv_id",
+            "metric",
+            "value",
+            (F.row_number().over(wpos) - 1).cast("long").alias("pos"),
+            F.count("*").over(Window.partitionBy("conv_id", "metric")).alias("n"),
+        )
+
+    if grid_step is None:
+        pts = _window_pos(src)
+    else:
+        step = F.lit(float(grid_step))
+        gstats = src.groupBy("conv_id", "metric").agg(
+            F.count("*").alias("n"),
+            F.min("bucket_s").alias("min_b"),
+            F.max("bucket_s").alias("max_b"),
+            F.count_distinct(F.col("bucket_s")).alias("n_uniq"),
+            F.count_distinct(F.col("bucket_s") % step).alias("n_res"),
+        )
+        # a group is the regular grid {min_b + i*step} iff it has n
+        # distinct points, one residue class mod step, and exactly the
+        # right span — pigeonhole leaves no other arrangement
+        regular = (
+            (F.col("n_uniq") == F.col("n"))
+            & (F.col("n_res") == 1)
+            & (F.col("max_b") - F.col("min_b") == step * (F.col("n") - 1))
+        )
+        joined = src.join(gstats, ["conv_id", "metric"])
+        reg = joined.where(regular).select(
+            "conv_id",
+            "metric",
+            "value",
+            F.round((F.col("bucket_s") - F.col("min_b")) / step)
+            .cast("long")
+            .alias("pos"),
+            "n",
+        )
+        irr = _window_pos(
+            joined.where(~regular).select("conv_id", "metric", "bucket_s", "value")
+        )
+        pts = reg.unionByName(irr)
+    pts = pts.where(F.col("n") >= w + 1)
     # tile width floored at w so the two-candidate segment assignment
     # below stays valid (w - 1 <= T)
     if tile_points is not None:
@@ -276,6 +327,7 @@ def matrix_profile_chunked(
     opts: MPOpts | None = None,
     value_col: str = "value",
     tile_points: int | None = None,
+    grid_step: int | None = None,
 ) -> DataFrame:
     """MPX with intra-series parallelism via SCAMP-style 2-D tiles.
 
@@ -303,11 +355,11 @@ def matrix_profile_chunked(
         "conv_id", "metric", "bucket_s", F.col(value_col).alias("value")
     )
     if tile_points is not None:
-        tile_in = chunked_tile_inputs(src, w, tile_points=tile_points)
+        tile_in = chunked_tile_inputs(src, w, tile_points=tile_points, grid_step=grid_step)
     else:
         # k tiles per side so that k(k+1)/2 ≈ n_batches tasks per conv
         k = max(1, int(round(((8 * n_batches + 1) ** 0.5 - 1) / 2)))
-        tile_in = chunked_tile_inputs(src, w, k=k)
+        tile_in = chunked_tile_inputs(src, w, k=k, grid_step=grid_step)
     part_schema = T.StructType(
         [
             T.StructField("conv_id", T.StringType(), False),
@@ -366,8 +418,18 @@ def matrix_profile_chunked(
                     )
                 else:
                     # diagonal tile: row/col ranges coincide; emit the
-                    # element-wise better of the two partials
-                    better = mpc > mpr
+                    # element-wise better of the two partials. Exact
+                    # Pearson ties break toward the smaller |idx - offset|
+                    # (earliest global diagonal), and at EQUAL distance
+                    # toward the col partial, whose idx = offset - d is
+                    # the lower one — the whole-series kernel touches the
+                    # diagonal side (lower idx) first within a diagonal,
+                    # so strict > there means lower idx wins (r02 advisor
+                    # item). Same key as the cross-tile max_by merge.
+                    offs = np.arange(r0, r0 + mpr.size, dtype=np.int64)
+                    better = (mpc > mpr) | (
+                        (mpc == mpr) & (np.abs(idc - offs) <= np.abs(idr - offs))
+                    )
                     mpr2 = np.where(better, mpc, mpr)
                     idr2 = np.where(better, idc, idr)
                     frames = [
@@ -385,12 +447,19 @@ def matrix_profile_chunked(
 
     partials = tile_in.mapInPandas(tile_kernel, part_schema)
     # merge: max corr; ties -> earliest global diagonal (MPX's strict >
-    # with ascending diagonals, matrixprofile.go:1038-1044)
+    # with ascending diagonals, matrixprofile.go:1038-1044); at EQUAL
+    # diagonal distance (candidates offset-d and offset+d both tied) ->
+    # the lower idx, because the whole-series kernel's diagonal-side
+    # touch precedes the offset-side touch within a diagonal
     diag_dist = F.abs(F.col("idx") - F.col("offset"))
     merged = partials.groupBy("conv_id", "metric", "offset").agg(
         F.max_by(
             F.struct("corr", "idx"),
-            F.struct(F.col("corr"), (-diag_dist).alias("nd")),
+            F.struct(
+                F.col("corr"),
+                (-diag_dist).alias("nd"),
+                (-F.col("idx")).alias("ni"),
+            ),
         ).alias("best")
     )
     # p2e: d = sqrt(2w(1 - min(corr, 1)))  (util/util.go:266-274)
@@ -590,21 +659,36 @@ def pan_matrix_profile(
 
 
 def pan_matrix_profile_distributed(
-    series: DataFrame, lower_m: int, upper_m: int, opts: MPOpts | None = None
+    series: DataFrame,
+    lower_m: int,
+    upper_m: int,
+    opts: MPOpts | None = None,
+    windows_per_task: int = 8,
 ) -> DataFrame:
-    """Pan-MP with (conv, window) task granularity.
+    """Pan-MP with (conv, window-batch) task granularity and a FUSED
+    multi-window kernel.
 
     ``pan_matrix_profile`` computes every window inside ONE per-conv
     task (faithful to pmp.go:119-161, which loops mp.Compute over
     windows) — fine for a wide fleet, but a few long conversations
     leave cores idle while each task grinds through the whole window
     range. Here the window dimension becomes data: the per-conv array
-    crosses with the broadcast window list (binary_split order +
-    sample_pct truncation, pmp.go:119-121) and each (conv, metric, w)
-    pair is its own task. Output is identical (same kernel per window);
-    only the physical parallelism changes — windows × convs tasks
-    instead of convs.
+    crosses with the broadcast window-BATCH list (binary_split order +
+    sample_pct truncation, pmp.go:119-121, chunked into
+    ``windows_per_task`` groups) and each (conv, metric, batch) is its
+    own task running kernels.pmp.pmp_fused — one shared product+cumsum
+    pass per diagonal feeds every window in the batch (~1.4x the
+    per-window kernel at 4k/32 windows), and each conversation's array
+    ships once per BATCH instead of once per window (shuffle volume
+    ÷ windows_per_task; the dominant win at fleet scale).
+
+    ``windows_per_task`` trades task granularity against amortization:
+    1 reproduces the old (conv, window) layout; len(windows) puts each
+    conv in a single task. Values match the faithful kernel to
+    accumulation order (pinned ≤1e-9 by pytest; the driver oracle
+    rounds at 4 decimals).
     """
+    from ..kernels.pmp import pmp_fused
     from ..kernels.util import binary_split
 
     opts = opts or MPOpts()
@@ -612,11 +696,16 @@ def pan_matrix_profile_distributed(
     windows = windows[: int(len(windows) * opts.sample_pct)]
     if not windows:
         raise ValueError("Need more than one subsequence window for pmp")
+    wpt = max(1, int(windows_per_task))
+    batches = [
+        (b, [int(x) for x in windows[i : i + wpt]])
+        for b, i in enumerate(range(0, len(windows), wpt))
+    ]
     assembled = assemble_series(series)
     spark = series.sparkSession
-    wdf = spark.createDataFrame([(int(x),) for x in windows], "w int")
+    wdf = spark.createDataFrame(batches, "batch int, ws array<int>")
     tasks = assembled.crossJoin(F.broadcast(wdf)).repartition(
-        cpu_partitions(series), "conv_id", "metric", "w"
+        cpu_partitions(series), "conv_id", "metric", "batch"
     )
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -627,19 +716,18 @@ def pan_matrix_profile_distributed(
                 # in the pan-MP iff it fits the LARGEST window
                 if vals.size < upper_m + 2:
                     continue
-                w = int(row.w)
-                mp = MatrixProfile(vals, None, w).compute(opts)
-                n = mp.mp.size
-                yield pd.DataFrame(
-                    {
-                        "conv_id": row.conv_id,
-                        "metric": row.metric,
-                        "w": np.int32(w),
-                        "offset": np.arange(n, dtype=np.int32),
-                        "mp": mp.mp,
-                        "idx": mp.idx,
-                    }
-                )
+                fused = pmp_fused(vals, list(row.ws), opts)
+                for w, (mp, idx) in fused.items():
+                    yield pd.DataFrame(
+                        {
+                            "conv_id": row.conv_id,
+                            "metric": row.metric,
+                            "w": np.int32(w),
+                            "offset": np.arange(mp.size, dtype=np.int32),
+                            "mp": mp,
+                            "idx": idx,
+                        }
+                    )
 
     return tasks.mapInPandas(kernel, MP_SCHEMA)
 
@@ -943,10 +1031,23 @@ def matrix_profile_ab_chunked(
                 )
 
     partials = tiles.mapInPandas(tile_kernel, part_schema)
+    # tie rule: smallest signed diagonal d = j_B - i_A wins — the first
+    # diagonal mpx_tile_partial's ascending-d traversal touches, on BOTH
+    # sides of the tile (A side at fixed i visits j ascending; B side at
+    # fixed j visits i descending — both are d ascending with strict >).
+    # For direction 'ab' (offset in A, idx in B) d = idx - offset, so the
+    # key minimizes idx; for 'ba' (offset in B, idx in A) d = offset -
+    # idx, so the key MAXIMIZES idx. The whole-series Go kernel's own AB
+    # tie order (mpxab's descending-j pass before mpxba's ascending-j,
+    # matrixprofile.go:1057-1198) is a pass-structure artifact the tiles
+    # cannot reproduce without order-aware interiors; raw-float AB tie
+    # parity with Go is pinned by matrix_profile_ab (golden fixtures),
+    # and the tiled path pins THIS rule with a tie-specific pytest.
+    tie = F.when(F.col("direction") == "ab", -F.col("idx")).otherwise(F.col("idx"))
     merged = partials.groupBy("conv_id", "direction", "offset").agg(
         F.max_by(
             F.struct("corr", "idx"),
-            F.struct(F.col("corr"), (-F.col("idx")).alias("ni")),
+            F.struct(F.col("corr"), tie.alias("ni")),
         ).alias("best")
     )
     return merged.select(
@@ -966,6 +1067,7 @@ def matrix_profile_auto(
     value_col: str = "value",
     chunk_threshold: int = 8192,
     n_batches: int = 8,
+    grid_step: int | None = None,
 ) -> DataFrame:
     """Skew-aware MP: routes each conversation by series length.
 
@@ -981,13 +1083,18 @@ def matrix_profile_auto(
     src = series.select(
         "conv_id", "metric", "bucket_s", F.col(value_col).alias("value")
     )
+    # routing via a computed length column through a NON-broadcast join:
+    # at corpus scale the short-key list is nearly every (conv, metric)
+    # pair — billions of rows — so broadcasting it would funnel the whole
+    # routing table through the driver. A shuffled join on (conv, metric)
+    # re-uses the exact partitioning the downstream series assembly and
+    # tile stages shuffle on anyway.
     lengths = src.groupBy("conv_id", "metric").agg(F.count("*").alias("n"))
-    short_keys = lengths.where(F.col("n") < chunk_threshold).select("conv_id", "metric")
-    long_keys = lengths.where(F.col("n") >= chunk_threshold).select("conv_id", "metric")
-    short = src.join(F.broadcast(short_keys), ["conv_id", "metric"], "left_semi")
-    long = src.join(F.broadcast(long_keys), ["conv_id", "metric"], "left_semi")
+    routed = src.join(lengths, ["conv_id", "metric"])
+    short = routed.where(F.col("n") < chunk_threshold).drop("n")
+    long = routed.where(F.col("n") >= chunk_threshold).drop("n")
     prof_short = matrix_profile(short, w, opts, min_len=None)
     prof_long = matrix_profile_chunked(
-        long, w, opts=opts, tile_points=chunk_threshold
+        long, w, opts=opts, tile_points=chunk_threshold, grid_step=grid_step
     )
     return prof_short.unionByName(prof_long)

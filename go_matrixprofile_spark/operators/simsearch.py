@@ -152,15 +152,16 @@ def _cap_buckets(buckets: DataFrame, max_bucket: int | None) -> DataFrame:
     those pairs other chances."""
     if max_bucket is None:
         return buckets
-    from pyspark.sql.window import Window
-
-    return (
-        buckets.withColumn(
-            "bsz", F.count("*").over(Window.partitionBy("tbl", "bucket"))
-        )
+    # bucket sizes via groupBy + join (map-side-combinable partial
+    # counts), NOT a frameless window that would route every row of a
+    # degenerate bucket through one task before the filter discards them
+    small = (
+        buckets.groupBy("tbl", "bucket")
+        .agg(F.count("*").alias("bsz"))
         .where(F.col("bsz") <= max_bucket)
-        .drop("bsz")
+        .select("tbl", "bucket")
     )
+    return buckets.join(small, ["tbl", "bucket"])
 
 
 def knn_lsh_cosine(

@@ -141,13 +141,35 @@ def compact_tier(spark: SparkSession, tier_dir: str) -> None:
 
     Stand-in for Iceberg's rewrite_data_files; run between streaming
     catch-up windows, never concurrently with the writer.
-    """
-    import shutil
 
+    Crash-safe swap order (r02 advisor finding): write the compacted
+    copy, move the OLD tier aside, rename the copy into place, delete
+    the old dir LAST — the data is never absent from disk; a crash
+    leaves either the live tier or a recoverable ``.old`` sibling
+    (recover by renaming it back). Uses the Hadoop FS API, so the swap
+    works on any Hadoop-compatible filesystem, not just local paths
+    (shutil, the previous implementation, silently required local FS).
+    In production this whole function is Iceberg's atomic
+    rewrite_data_files commit.
+    """
     live = read_tier(spark, tier_dir).withColumn(
         "batch_id", F.lit(-1).cast("long")
     )
-    tmp = tier_dir.rstrip("/") + ".compact"
+    base = tier_dir.rstrip("/")
+    tmp, old = base + ".compact", base + ".old"
     live.write.mode("overwrite").parquet(tmp)  # distributed, never collected
-    shutil.rmtree(tier_dir)
-    shutil.move(tmp, tier_dir)
+
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(base).getFileSystem(conf)
+    if fs.exists(Path(old)):  # leftover from a previous crash mid-swap
+        fs.delete(Path(old), True)
+    if not fs.rename(Path(base), Path(old)):
+        raise IOError(f"compact_tier: could not move {base} aside")
+    if not fs.rename(Path(tmp), Path(base)):
+        # roll back so the tier is still readable
+        fs.rename(Path(old), Path(base))
+        raise IOError(f"compact_tier: could not move {tmp} into place")
+    fs.delete(Path(old), True)

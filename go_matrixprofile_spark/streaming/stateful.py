@@ -8,9 +8,13 @@ per appended point — O(n log n), never a full recompute) and emits the
 refreshed profile stamped with an update sequence number.
 
 State is bounded by ``max_points`` per conversation — beyond it the
-conversation freezes (emits nothing further) and belongs on the batch
-tiled path (operators/profile.matrix_profile_chunked); unbounded
-per-key state is how streaming jobs die at corpus scale.
+conversation freezes and belongs on the batch tiled path
+(operators/profile.matrix_profile_chunked); unbounded per-key state is
+how streaming jobs die at corpus scale. A frozen conversation is NOT
+silent: every batch that delivers points to it emits one marker row
+(offset = -1, mp = NaN, idx = count of points dropped in that batch,
+seq unchanged) so downstream operators can route it to the batch path
+instead of mistaking the stall for a quiet stream.
 
 Output mode is append: each batch emits the conversation's full
 refreshed profile under a new ``seq``; readers take the max seq per
@@ -58,7 +62,19 @@ def stream_matrix_profile(
             vals, mp_l, idx_l, seq = np.empty(0), None, None, 0
 
         if vals.size >= max_points:
-            return  # frozen: route this conv to the batch tiled path
+            # frozen: drop the batch but emit a visible marker row —
+            # offset -1, idx = dropped-point count, seq NOT bumped so the
+            # latest-wins read view keeps the last real profile alongside
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "seq": np.array([seq], dtype=np.int32),
+                    "offset": np.array([-1], dtype=np.int32),
+                    "mp": np.array([np.nan]),
+                    "idx": np.array([new.size], dtype=np.int64),
+                }
+            )
+            return
 
         out_mp = out_idx = None
         if mp_l:  # incremental: kernel update() per appended point

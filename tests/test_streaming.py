@@ -205,3 +205,47 @@ class TestStatefulStreamingMP:
             g = got[got.conv_id == cid]
             assert len(g) == want.mp.size
             np.testing.assert_allclose(g["mp"].to_numpy(), want.mp, atol=1e-9)
+
+    def test_frozen_conv_emits_marker(self, spark, tmp_path):
+        """A conversation past max_points must not stall silently: each
+        batch that delivers points to a frozen conversation yields one
+        marker row (offset -1, idx = dropped count, seq of the last real
+        profile) so it stays visible in the latest-wins read view."""
+        import pandas as pd
+
+        from go_matrixprofile_spark.streaming.stateful import (
+            latest_profiles,
+            stream_matrix_profile,
+        )
+
+        w = 8
+        in_dir = str(tmp_path / "pts")
+        out_dir = str(tmp_path / "prof")
+        ckpt = str(tmp_path / "ckpt")
+        rng = np.random.default_rng(9)
+        vals = np.abs(rng.normal(10, 4, 50)) + rng.random(50)
+
+        def write_points(lo, hi, mode):
+            rows = [("conv-f", float(i), float(vals[i])) for i in range(lo, hi)]
+            spark.createDataFrame(
+                pd.DataFrame(rows, columns=["conv_id", "bucket_s", "value"])
+            ).write.mode(mode).parquet(in_dir)
+
+        # batch 1 fills state to max_points; batch 2 hits the freeze
+        write_points(0, 30, "overwrite")
+        sink = stream_matrix_profile(spark, in_dir, ckpt, w=w, max_points=30)
+        q = sink.format("parquet").option("path", out_dir).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        write_points(30, 50, "append")
+        q = sink.format("parquet").option("path", out_dir).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        latest = latest_profiles(spark, out_dir).toPandas()
+        marker = latest[latest["offset"] == -1]
+        assert len(marker) == 1
+        assert int(marker["idx"].iloc[0]) == 20  # dropped points, visible
+        assert marker["mp"].isna().all()
+        # the last REAL profile (seq 1, 30 points) is still in the view
+        real = latest[latest["offset"] >= 0]
+        assert len(real) == 30 - w + 1
+        assert set(latest["seq"]) == {1}

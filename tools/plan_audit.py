@@ -66,12 +66,15 @@ def main() -> int:
         )
     )
 
-    # 2. predicate pushdown: jaccard caps doc_id < 300 at the scan
+    # 2. predicate pushdown: jaccard caps doc_id < 300 at the scan;
+    #    shingle document frequency is a partial-aggregated groupBy+join,
+    #    never a frameless Window that funnels a stop-shingle's rows
+    #    through one task
     check(
-        "dedup_ngram_jaccard: doc_id filter pushed to parquet",
+        "dedup_ngram_jaccard: doc_id filter pushed to parquet, DF via partial agg",
         qs["dedup_ngram_jaccard"](spark, sf_dir),
-        must=["PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,300)"],
-        must_not=["CartesianProduct"],
+        must=["PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,300)", "partial_count"],
+        must_not=["CartesianProduct", "Window"],
     )
 
     # 3. LSH family: bucket joins are hash joins, never cartesian
@@ -82,9 +85,10 @@ def main() -> int:
         must_not=["CartesianProduct"],
     )
     check(
-        "cosine_near_dup: banded bucket join, no cartesian",
+        "cosine_near_dup: banded bucket join, bucket caps via partial agg",
         qs["cosine_near_dup"](spark, sf_dir),
-        must_not=["CartesianProduct"],
+        must=["partial_count"],
+        must_not=["CartesianProduct", "Window"],
     )
 
     # 4. brute knn: query side broadcast (BroadcastNestedLoopJoin is the
@@ -103,18 +107,45 @@ def main() -> int:
         must=["partial_sum", "hashpartitioning"],
     )
 
-    # 6. MP auto-routing: length routing via broadcast semi-joins
+    # 6. MP auto-routing: length routing via a computed-n column through
+    #    a NON-broadcast shuffled join (at corpus scale the routing key
+    #    list is nearly every (conv, metric) pair — a broadcast would
+    #    pull billions of rows through the driver)
     from go_matrixprofile_spark.operators.profile import matrix_profile_auto
     from go_matrixprofile_spark.operators.series import turn_rate_series
     from go_matrixprofile_spark.sources.transcripts import transcripts_from_events
 
     t = transcripts_from_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    auto = matrix_profile_auto(turn_rate_series(t, 3600), w=8)
-    check(
-        "matrix_profile_auto: broadcast LeftSemi length routing",
-        auto,
-        must=["BroadcastHashJoin", "LeftSemi"],
-        must_not=["CartesianProduct"],
+    # disable the planner's size-based broadcasting for this one plan:
+    # at sf0.01 the length table genuinely fits the 10MB threshold, so a
+    # BroadcastHashJoin here would be the PLANNER's (correct, stats-based)
+    # choice — the invariant is that no broadcast survives when the
+    # threshold is off, i.e. nothing is FORCED via F.broadcast and the
+    # plan degrades to a shuffled join at corpus scale
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        auto = matrix_profile_auto(turn_rate_series(t, 3600), w=8)
+        auto_plan = plan_of(auto)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    routing_shuffled = ("SortMergeJoin" in auto_plan) or (
+        "ShuffledHashJoin" in auto_plan
+    )
+    checks.append(
+        (
+            "matrix_profile_auto: non-broadcast length-column routing",
+            auto_plan,
+            [
+                ("routing join is SortMerge/ShuffledHash", routing_shuffled),
+                ("partial_count length agg", "partial_count" in auto_plan),
+                (
+                    "no forced broadcast (threshold off)",
+                    "BroadcastHashJoin" not in auto_plan,
+                ),
+                ("absent   'CartesianProduct'", "CartesianProduct" not in auto_plan),
+            ],
+        )
     )
 
     # 7. chunked MP: tile join is a hash join on bounded keys; kernel
@@ -123,6 +154,28 @@ def main() -> int:
         "matrix_profile_chunked: hash joins + pinned repartition",
         qs["mp_chunked_oracle"](spark, sf_dir),
         must=["hashpartitioning", "REPARTITION_BY_NUM"],
+        must_not=["CartesianProduct"],
+    )
+
+    # 7b. chunked MP on a declared regular grid: positions derive
+    #     arithmetically — NO window sort anywhere in the plan (the
+    #     per-conv row_number over a 10^8-point mega-thread was the last
+    #     single-task whole-series stage)
+    from go_matrixprofile_spark.operators.profile import matrix_profile_chunked
+
+    grid_src = spark.range(4096).select(
+        F.lit("g").alias("conv_id"),
+        F.lit("m").alias("metric"),
+        (F.col("id") * 3600).cast("double").alias("bucket_s"),
+        F.sin(F.col("id") / 17.0).alias("value"),
+    )
+    # (the plan still CONTAINS a Window node — it is the zero-row
+    # irregular-fallback branch of the union; regular groups take the
+    # min/max/count-distinct aggregate + join path asserted here)
+    check(
+        "matrix_profile_chunked(grid_step): arithmetic position stats agg",
+        matrix_profile_chunked(grid_src, w=64, tile_points=1024, grid_step=3600),
+        must=["hashpartitioning", "REPARTITION_BY_NUM", "partial_min", "partial_max"],
         must_not=["CartesianProduct"],
     )
 
