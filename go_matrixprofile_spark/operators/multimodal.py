@@ -5,13 +5,14 @@ structs, processed by Arrow-batched `mapInPandas` UDFs so bytes never
 cross a per-row Python boundary.
 
 Two decode tiers:
-- REAL decode for fully-specified byte formats needing no codec
-  library: RIFF/WAV PCM16 (kind='wav') and binary PPM (kind='ppm'),
-  parsed with pure NumPy (functions/media.py) — duration/RMS/ZCR/
-  spectral-centroid and dims/channel-means/luminance-histogram
-  features respectively.
-- STUB for formats that require PIL/ffmpeg (jpeg/mp3/mp4 stand-ins,
-  kinds 'image'/'audio'/'video'): decode_stub=True (default) derives a
+- REAL decode for byte formats needing no codec library, parsed with
+  pure NumPy (functions/media.py): RIFF/WAV PCM16 (kind='wav'),
+  binary PPM (kind='ppm'), and baseline sequential JPEG per ITU T.81
+  (kind='image' with an FFD8 payload) — duration/RMS/ZCR/spectral-
+  centroid for audio, dims/channel-means/luminance-histogram for
+  images.
+- STUB only for mp3/mp4 stand-ins (kinds 'audio'/'video'), which
+  genuinely require ffmpeg: decode_stub=True (default) derives a
   deterministic signature from payload byte statistics so plumbing,
   schemas, batch shapes, and partitioning stay fully real and
   testable; decode_stub=False raises NotImplementedError at the
@@ -70,7 +71,11 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     interleaved with opaque random payloads for the stubbed kinds."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.media import encode_ppm, encode_wav_pcm16
+        from ..functions.media import (
+            encode_jpeg_baseline,
+            encode_ppm,
+            encode_wav_pcm16,
+        )
 
         for pdf in batches:
             rows = []
@@ -89,6 +94,18 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                     h = int(rng.integers(8, 64))
                     px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
                     payload = encode_ppm(px)
+                    meta = {"width": w, "height": h, "sample_rate": None, "n_frames": None}
+                elif kind == "image":
+                    # real baseline JPEG: smooth gradient + noise patch
+                    w = int(rng.integers(8, 64))
+                    h = int(rng.integers(8, 64))
+                    gx = np.linspace(0, 255, w)[None, :].repeat(h, axis=0)
+                    gy = np.linspace(0, 255, h)[:, None].repeat(w, axis=1)
+                    px = np.stack([gx, gy, (gx + gy) / 2], axis=-1)
+                    px += rng.normal(0, 8, px.shape)
+                    payload = encode_jpeg_baseline(
+                        np.clip(px, 0, 255).astype(np.uint8), quality=85
+                    )
                     meta = {"width": w, "height": h, "sample_rate": None, "n_frames": None}
                 else:
                     size = int(rng.integers(256, 4096))
@@ -110,14 +127,17 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract media payloads (Arrow-batched).
 
-    With decode_stub=True (this container has no image/audio codecs) the
-    "decoder" derives a deterministic dim-float signature from payload
-    byte statistics — the Spark-side plumbing (schema, batching,
-    partitioning, binary transport) is identical to a real decoder.
+    WAV (RIFF/PCM16), PPM (P6) and baseline JPEG (ITU T.81 SOF0) decode
+    for REAL via the pure-NumPy codecs in functions.media. Only mp3/mp4
+    remain stubbed (genuinely codec-library-bound): with
+    decode_stub=True the "decoder" derives a deterministic dim-float
+    signature from payload byte statistics — the Spark-side plumbing
+    (schema, batching, partitioning, binary transport) is identical to
+    a real decoder.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.media import ppm_features, wav_features
+        from ..functions.media import jpeg_features, ppm_features, wav_features
 
         for pdf in batches:
             out = []
@@ -127,9 +147,11 @@ def extract_features(
                     feat = np.asarray(wav_features(buf, dim), dtype=np.float32)
                 elif row.kind == "ppm":
                     feat = np.asarray(ppm_features(buf, dim), dtype=np.float32)
+                elif row.kind == "image" and buf[:2] == b"\xff\xd8":
+                    feat = np.asarray(jpeg_features(buf, dim), dtype=np.float32)
                 elif not decode_stub:
                     raise NotImplementedError(
-                        "jpeg/mp3/mp4 decode requires PIL/ffmpeg, absent in this image"
+                        "mp3/mp4 decode requires ffmpeg, absent in this image"
                     )
                 else:
                     arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)

@@ -27,7 +27,9 @@ class TestMultimodal:
         )
         from py4j.protocol import Py4JJavaError
 
-        media = synthesize_media(spark, 3)
+        # 5 docs covers the audio/video kinds, which remain stubbed
+        # (wav/ppm/jpeg now decode for real and do NOT raise)
+        media = synthesize_media(spark, 5)
         with pytest.raises(Exception):
             extract_features(media, decode_stub=False).count()
 
@@ -93,6 +95,71 @@ class TestMultimodal:
         w, h, mr, mg, mb = feat[:5]
         assert (w, h) == (20.0, 10.0)
         assert (mr, mg, mb) == (200.0, 50.0, 0.0)
+
+    def test_jpeg_roundtrip_physics(self):
+        """Baseline JPEG codec (ITU T.81, pure NumPy): a constant image
+        round-trips EXACTLY (all energy in dequantized DC), a smooth
+        gradient round-trips within quantization error, a non-multiple-
+        of-8 image keeps its dimensions, and malformed payloads raise."""
+        from go_matrixprofile_spark.functions.media import (
+            decode_jpeg_baseline,
+            encode_jpeg_baseline,
+        )
+
+        c = np.full((16, 24, 3), 130, dtype=np.uint8)
+        out = decode_jpeg_baseline(encode_jpeg_baseline(c, quality=90))
+        np.testing.assert_array_equal(out, c)
+
+        h, w = 37, 51  # deliberately not multiples of 8
+        gx = np.linspace(0, 255, w)[None, :].repeat(h, axis=0)
+        gy = np.linspace(0, 255, h)[:, None].repeat(w, axis=1)
+        img = np.stack([gx, gy, (gx + gy) / 2], axis=-1).astype(np.uint8)
+        buf = encode_jpeg_baseline(img, quality=90)
+        assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+        got = decode_jpeg_baseline(buf)
+        assert got.shape == (h, w, 3)
+        err = np.abs(got.astype(float) - img.astype(float))
+        assert err.mean() < 2.0 and err.max() <= 12
+
+        # quality monotonicity: lower quality -> smaller payload
+        assert len(encode_jpeg_baseline(img, quality=30)) < len(buf)
+
+        with pytest.raises(ValueError):
+            decode_jpeg_baseline(b"\x00\x01\x02")
+        with pytest.raises(ValueError):
+            decode_jpeg_baseline(b"\xff\xd8" + b"\xff\xc2\x00\x04\x08\x00")
+
+    def test_jpeg_real_decode_through_spark(self, spark):
+        """kind='image' JPEG payloads decode for REAL through the Spark
+        feature extractor: dims exact, channel means within
+        quantization error of the source."""
+        import pandas as pd
+
+        from go_matrixprofile_spark.functions.media import encode_jpeg_baseline
+        from go_matrixprofile_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+        )
+
+        px = np.zeros((24, 40, 3), dtype=np.uint8)
+        px[..., 0] = 180
+        px[..., 1] = 60
+        px[..., 2] = 20
+        payload = encode_jpeg_baseline(px, quality=90)
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                [(0, "image", payload, {"width": 40, "height": 24,
+                                        "sample_rate": None, "n_frames": None})],
+                columns=["doc_id", "kind", "payload", "meta"],
+            ),
+            schema=MEDIA_SCHEMA,
+        )
+        feat = extract_features(media, dim=16, decode_stub=False).toPandas()[
+            "feature"
+        ].iloc[0]
+        w, h, mr, mg, mb = feat[:5]
+        assert (w, h) == (40.0, 24.0)
+        assert abs(mr - 180) <= 2 and abs(mg - 60) <= 2 and abs(mb - 20) <= 2
 
     def test_wav_roundtrip_multichannel_and_errors(self):
         from go_matrixprofile_spark.functions.media import (
