@@ -206,6 +206,22 @@ def q_winnow_fingerprints(spark, sf_dir):
     return TX.winnow_fingerprints(_documents(spark, sf_dir), k=8, window=4)
 
 
+def q_winnow_dup_pairs(spark, sf_dir):
+    """ORACLE-CHECKED substring-level near-dup pairs: docs sharing >= 5
+    rare winnowing fingerprints (SWA guarantee — every common substring
+    of length >= 11 shares one); df-gated self-join, bounded blocks."""
+    return DD.winnow_dup_pairs(
+        _documents(spark, sf_dir), k=8, window=4, min_shared=5, max_df=25
+    )
+
+
+def q_quality_repetition(spark, sf_dir):
+    """ORACLE-CHECKED Gopher-style repetition signals (Rae et al. 2021):
+    top-/duplicate-n-gram occurrence fractions for n=1..3 per doc — the
+    degenerate-repetition filter a training pipeline runs before dedup."""
+    return TX.repetition_stats(_documents(spark, sf_dir))
+
+
 def q_knn_brute_cosine(spark, sf_dir):
     return SS.knn_brute_cosine(_embeddings(spark, sf_dir), n_queries=8, k=5)
 
@@ -845,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_dup_pairs": q_winnow_dup_pairs,
+        "quality_repetition": q_quality_repetition,
         "knn_brute_cosine": q_knn_brute_cosine,
         "knn_lsh_cosine": q_knn_lsh_cosine,
         "knn_ivf_cosine": q_knn_ivf_cosine,
@@ -867,11 +885,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp_ab_chunked_oracle": q_mp_ab_chunked_oracle,
         "mp_stamp_oracle": q_mp_stamp_oracle,
         "mp_stmp_oracle": q_mp_stmp_oracle,
-        # ---- full-scale variants, rows-only by design (9) ----
+        # ---- full-scale variants, rows-only by design (7) ----
+        # (mp_segments and mp_motifs dropped to keep the dict at the
+        # driver's 50-row gate after winnow_dup_pairs and
+        # quality_repetition joined the value-checked block: their
+        # oracle twins mp_segments_oracle / mp_motifs_oracle are
+        # value-checked above and mp_discords exercises the same
+        # full-scale profile + discovery path)
         "mp_event_rate": q_mp_event_rate,
         "mp_discords": q_mp_discords,
-        "mp_motifs": q_mp_motifs,
-        "mp_segments": q_mp_segments,
         "kmp_event_types": q_kmp_event_types,
         "pmp_event_rate": q_pmp_event_rate,
         "mpdist_pairs": q_mpdist_pairs,
@@ -939,6 +961,29 @@ dists AS (
   JOIN stats sj ON sj.conv_id = d.conv_id AND sj.i = d.j
 ),
 prof AS (SELECT conv_id, j, MIN(dist) AS mp FROM dists GROUP BY 1, 2)
+"""
+
+# winnowing fingerprint set (k=8, window=4), shared by the
+# winnow_fingerprints and winnow_dup_pairs oracles
+_WINNOW_FPS = """
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, substr(text, CAST(i AS INT), 8) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        FROM documents)
+  WHERE length(substr(text, CAST(i AS INT), 8)) > 0
+),
+hashed AS (
+  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hv FROM grams
+),
+wins AS (
+  SELECT doc_id, pos,
+         MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM hashed
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n - 4)
 """
 
 _SHINGLES = """
@@ -1208,25 +1253,61 @@ FROM documents
 SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
 FROM documents
 """,
-        "winnow_fingerprints": r"""
-WITH grams AS (
-  SELECT doc_id, CAST(i - 1 AS INT) AS pos, substr(text, CAST(i AS INT), 8) AS gram
-  FROM (SELECT doc_id, text,
-               unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
-        FROM documents)
-  WHERE length(substr(text, CAST(i AS INT), 8)) > 0
-),
-hashed AS (
-  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hv FROM grams
-),
-wins AS (
-  SELECT doc_id, pos,
-         MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-         COUNT(*) OVER (PARTITION BY doc_id) AS n
-  FROM hashed
+        "winnow_fingerprints": f"""
+WITH {_WINNOW_FPS}
+SELECT doc_id, fp FROM fps
+""",
+        "winnow_dup_pairs": f"""
+WITH {_WINNOW_FPS},
+dfs AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp),
+rare AS (
+  SELECT f.doc_id, f.fp FROM fps f
+  JOIN (SELECT fp FROM dfs WHERE df <= 25) r USING (fp)
 )
-SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n - 4
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 5
+""",
+        "quality_repetition": r"""
+WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM words
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+  FROM words
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in range(1, len(ws) - 1)]) AS gram
+  FROM words
+),
+cnts AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, n, gram
+),
+per AS (
+  SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS total, MAX(c) AS top,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+  FROM cnts GROUP BY doc_id, n
+)
+SELECT doc_id,
+  MAX(CASE WHEN n = 1 THEN total END) AS n_words,
+  ROUND(MAX(CASE WHEN n = 1 THEN top END)
+        / NULLIF(MAX(CASE WHEN n = 1 THEN total END), 0), 4) AS top_1gram_frac,
+  ROUND(MAX(CASE WHEN n = 1 THEN dup END)
+        / NULLIF(MAX(CASE WHEN n = 1 THEN total END), 0), 4) AS dup_1gram_frac,
+  ROUND(MAX(CASE WHEN n = 2 THEN top END)
+        / NULLIF(MAX(CASE WHEN n = 2 THEN total END), 0), 4) AS top_2gram_frac,
+  ROUND(MAX(CASE WHEN n = 2 THEN dup END)
+        / NULLIF(MAX(CASE WHEN n = 2 THEN total END), 0), 4) AS dup_2gram_frac,
+  ROUND(MAX(CASE WHEN n = 3 THEN top END)
+        / NULLIF(MAX(CASE WHEN n = 3 THEN total END), 0), 4) AS top_3gram_frac,
+  ROUND(MAX(CASE WHEN n = 3 THEN dup END)
+        / NULLIF(MAX(CASE WHEN n = 3 THEN total END), 0), 4) AS dup_3gram_frac
+FROM per GROUP BY doc_id
 """,
         "mp_stomp_oracle": f"""
 WITH {_LAT40},

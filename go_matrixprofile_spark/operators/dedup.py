@@ -112,9 +112,12 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_shingles").alias("nb"))
+    # no broadcast hint on the size joins: `sizes` is one row per DOC —
+    # unbounded at corpus scale — while the candidate-pair side is the
+    # small one; AQE picks the broadcast direction from runtime sizes
     return (
-        inter.join(F.broadcast(sa), "a_id")
-        .join(F.broadcast(sb), "b_id")
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
         .select(
             "a_id",
             "b_id",
@@ -304,3 +307,50 @@ def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
         )
         sig = bit if sig is None else sig + bit
     return sums.select("doc_id", sig.alias("simhash"))
+
+
+def winnow_dup_pairs(
+    documents: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """Substring-level near-dup pairs: docs sharing >= min_shared
+    winnowing fingerprints (text.winnow_fingerprints). By the SWA
+    guarantee every common substring of length >= k + window - 1
+    contributes at least one shared fingerprint, so this surfaces
+    copied PASSAGES that whole-document Jaccard/minhash dilute away —
+    the "exact substring dedup" stage of a training pipeline.
+
+    Scale shape: fingerprints with document frequency > max_df are
+    stop-fingerprints (boilerplate shared by everything) and are
+    dropped via a map-side-combinable groupBy+join BEFORE the
+    self-join, bounding every join block to <= max_df rows per fp —
+    the fan-out is O(sum_fp min(df, max_df)^2), never O(corpus^2).
+    Output: (a_id, b_id, n_shared).
+    """
+    from .text import winnow_fingerprints
+
+    fps = winnow_fingerprints(documents, k=k, window=window)
+    rare = fps.join(
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fp"),
+        "fp",
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

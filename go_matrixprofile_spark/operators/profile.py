@@ -167,6 +167,61 @@ def matrix_profile_assembled(
     return assembled.mapInPandas(kernel, MP_SCHEMA)
 
 
+def _grid_positions(
+    src: DataFrame, keys: list[str], grid_step: int | None
+) -> DataFrame:
+    """(keys..., value, pos, n): each point's rank within its key group
+    ordered by bucket_s, plus the group size — shared by the self-join
+    and AB tile builders.
+
+    grid_step=None sorts each group with a row_number window: a SINGLE
+    task per group, the last whole-series bottleneck for a 10^8-point
+    mega-thread. With grid_step set, groups verified to be the regular
+    grid {min_b + i*step} get pos derived ARITHMETICALLY — one aggregate
+    + a shuffled join, no per-group sort. A group is that grid iff it
+    has n distinct bucket_s, one residue class mod step, and exactly the
+    right span — pigeonhole leaves no other arrangement. Groups that
+    fail the check fall back to the window sort, so a wrong grid_step
+    degrades to the slow-but-correct path, never to mis-positioned
+    points.
+    """
+    from pyspark.sql.window import Window
+
+    def _window_pos(s: DataFrame) -> DataFrame:
+        wpos = Window.partitionBy(*keys).orderBy("bucket_s")
+        return s.select(
+            *keys,
+            "value",
+            (F.row_number().over(wpos) - 1).cast("long").alias("pos"),
+            F.count("*").over(Window.partitionBy(*keys)).alias("n"),
+        )
+
+    if grid_step is None:
+        return _window_pos(src)
+    step = F.lit(float(grid_step))
+    gstats = src.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.min("bucket_s").alias("min_b"),
+        F.max("bucket_s").alias("max_b"),
+        F.count_distinct(F.col("bucket_s")).alias("n_uniq"),
+        F.count_distinct(F.col("bucket_s") % step).alias("n_res"),
+    )
+    regular = (
+        (F.col("n_uniq") == F.col("n"))
+        & (F.col("n_res") == 1)
+        & (F.col("max_b") - F.col("min_b") == step * (F.col("n") - 1))
+    )
+    joined = src.join(gstats, keys)
+    reg = joined.where(regular).select(
+        *keys,
+        "value",
+        F.round((F.col("bucket_s") - F.col("min_b")) / step).cast("long").alias("pos"),
+        "n",
+    )
+    irr = _window_pos(joined.where(~regular).select(*keys, "bucket_s", "value"))
+    return reg.unionByName(irr)
+
+
 def chunked_tile_inputs(
     src: DataFrame,
     w: int,
@@ -203,56 +258,13 @@ def chunked_tile_inputs(
     bottleneck for a 10^8-point mega-thread. Regularity is verified per
     group (distinct count, span, single residue class); groups that fail
     fall back to the window sort, so a wrong ``grid_step`` degrades to
-    the slow-but-correct path rather than mis-positioning points.
+    the slow-but-correct path rather than mis-positioning points
+    (see _grid_positions).
     """
-    from pyspark.sql.window import Window
-
     if (k is None) == (tile_points is None):
         raise ValueError("pass exactly one of k / tile_points")
 
-    def _window_pos(s: DataFrame) -> DataFrame:
-        wpos = Window.partitionBy("conv_id", "metric").orderBy("bucket_s")
-        return s.select(
-            "conv_id",
-            "metric",
-            "value",
-            (F.row_number().over(wpos) - 1).cast("long").alias("pos"),
-            F.count("*").over(Window.partitionBy("conv_id", "metric")).alias("n"),
-        )
-
-    if grid_step is None:
-        pts = _window_pos(src)
-    else:
-        step = F.lit(float(grid_step))
-        gstats = src.groupBy("conv_id", "metric").agg(
-            F.count("*").alias("n"),
-            F.min("bucket_s").alias("min_b"),
-            F.max("bucket_s").alias("max_b"),
-            F.count_distinct(F.col("bucket_s")).alias("n_uniq"),
-            F.count_distinct(F.col("bucket_s") % step).alias("n_res"),
-        )
-        # a group is the regular grid {min_b + i*step} iff it has n
-        # distinct points, one residue class mod step, and exactly the
-        # right span — pigeonhole leaves no other arrangement
-        regular = (
-            (F.col("n_uniq") == F.col("n"))
-            & (F.col("n_res") == 1)
-            & (F.col("max_b") - F.col("min_b") == step * (F.col("n") - 1))
-        )
-        joined = src.join(gstats, ["conv_id", "metric"])
-        reg = joined.where(regular).select(
-            "conv_id",
-            "metric",
-            "value",
-            F.round((F.col("bucket_s") - F.col("min_b")) / step)
-            .cast("long")
-            .alias("pos"),
-            "n",
-        )
-        irr = _window_pos(
-            joined.where(~regular).select("conv_id", "metric", "bucket_s", "value")
-        )
-        pts = reg.unionByName(irr)
+    pts = _grid_positions(src, ["conv_id", "metric"], grid_step)
     pts = pts.where(F.col("n") >= w + 1)
     # tile width floored at w so the two-candidate segment assignment
     # below stays valid (w - 1 <= T)
@@ -917,18 +929,14 @@ def matrix_profile_ab(
     )
 
 
-def _ab_segments(src: DataFrame, w: int, t_w: int, side: str) -> DataFrame:
+def _ab_segments(
+    src: DataFrame, w: int, t_w: int, side: str, grid_step: int | None = None
+) -> DataFrame:
     """Overlapping fixed-width segments of one AB-join side:
-    (conv_id, seg, vals, len_p) with vals bounded by t_w + w - 1."""
-    from pyspark.sql.window import Window
-
-    wpos = Window.partitionBy("conv_id").orderBy("bucket_s")
-    pts = src.select(
-        "conv_id",
-        "value",
-        (F.row_number().over(wpos) - 1).alias("pos"),
-        F.count("*").over(Window.partitionBy("conv_id")).alias("n"),
-    ).where(F.col("n") >= w + 1)
+    (conv_id, seg, vals, len_p) with vals bounded by t_w + w - 1.
+    grid_step: see _grid_positions — arithmetic positions for regular
+    grids instead of a single-task per-conv sort."""
+    pts = _grid_positions(src, ["conv_id"], grid_step).where(F.col("n") >= w + 1)
     pts = pts.withColumn("len_p", F.col("n") - w + 1)
     s_hi = (F.col("pos") / t_w).cast("long")
     seg_candidates = F.array(
@@ -955,6 +963,7 @@ def matrix_profile_ab_chunked(
     series_b: DataFrame,
     w: int,
     tile_points: int = 4096,
+    grid_step: int | None = None,
 ) -> DataFrame:
     """Tiled AB-join matrix profile: the full A-offsets × B-offsets
     rectangle splits into fixed-width tiles; each task receives one
@@ -963,12 +972,15 @@ def matrix_profile_ab_chunked(
     contract as the self-join tiles: per-task work ~tile_points² cells,
     shuffle volume O((na+nb)·k), no whole-series rows. Output matches
     matrix_profile_ab: (conv_id, direction ab|ba, w, offset, mp, idx).
+    grid_step: arithmetic positions for regular-grid input (e.g. a
+    gap-filled tier) instead of a single-task per-conv sort — see
+    _grid_positions.
     """
     t_w = max(int(tile_points), w)
     a_src = series_a.select("conv_id", "bucket_s", "value")
     b_src = series_b.select("conv_id", "bucket_s", "value")
-    a_segs = _ab_segments(a_src, w, t_w, "a")
-    b_segs = _ab_segments(b_src, w, t_w, "b")
+    a_segs = _ab_segments(a_src, w, t_w, "a", grid_step)
+    b_segs = _ab_segments(b_src, w, t_w, "b", grid_step)
     tiles = (
         a_segs.withColumnRenamed("seg", "r")
         .join(b_segs.withColumnRenamed("seg", "c"), "conv_id")

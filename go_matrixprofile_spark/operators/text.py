@@ -166,3 +166,70 @@ def winnow_fingerprints(
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", Table A1): for n-grams of size 1..3, the
+    occurrence fraction of the single most frequent n-gram
+    (top_{n}gram_frac) and the occurrence fraction of all n-grams that
+    appear more than once (dup_{n}gram_frac). High values flag the
+    boilerplate / degenerate-repetition documents a training pipeline
+    drops before dedup even runs.
+
+    Plan (all JVM built-ins, no Python per row): one projection builds
+    the three gram arrays (zip_with over shifted slices — no sequence()
+    descent on short docs), `inline` + `explode` stack them to
+    (doc_id, n, gram) rows, then two map-side-combinable aggregations:
+    groupBy(doc_id, n, gram) counts and groupBy(doc_id, n) → pivot to
+    one row per doc. Keys all include doc_id, so there is no hot key at
+    corpus scale. Fractions are ROUND(x, 4) with NULLIF-guarded
+    denominators so the DuckDB oracle hashes identically; docs too
+    short for an n-gram size yield NULL fracs in both engines.
+    """
+    ws = "split(trim(text), ' ')"
+    l2 = f"greatest(size({ws}) - 1, 0)"
+    l3 = f"greatest(size({ws}) - 2, 0)"
+    g2 = (
+        f"zip_with(slice({ws}, 1, {l2}), slice({ws}, 2, {l2}), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
+    g3 = (
+        f"zip_with(slice({ws}, 1, {l3}), "
+        f"zip_with(slice({ws}, 2, {l3}), slice({ws}, 3, {l3}), "
+        "(a, b) -> concat(a, ' ', b)), (a, b) -> concat(a, ' ', b))"
+    )
+    arrays = documents.select(
+        "doc_id",
+        F.expr(ws).alias("g1"),
+        F.expr(g2).alias("g2"),
+        F.expr(g3).alias("g3"),
+    )
+    exploded = arrays.select(
+        "doc_id",
+        F.expr(
+            "inline(array(struct(1 AS n, g1 AS gs), "
+            "struct(2 AS n, g2 AS gs), struct(3 AS n, g3 AS gs)))"
+        ),
+    ).select("doc_id", "n", F.explode("gs").alias("gram"))
+    cnts = exploded.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+    per = cnts.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup"),
+    )
+
+    def _frac(n: int, num: str):
+        val = F.max(F.when(F.col("n") == n, F.col(num)))
+        tot = F.nullif(F.max(F.when(F.col("n") == n, F.col("total"))), F.lit(0))
+        return F.round(val / tot, 4)
+
+    return per.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 1, F.col("total"))).alias("n_words"),
+        _frac(1, "top").alias("top_1gram_frac"),
+        _frac(1, "dup").alias("dup_1gram_frac"),
+        _frac(2, "top").alias("top_2gram_frac"),
+        _frac(2, "dup").alias("dup_2gram_frac"),
+        _frac(3, "top").alias("top_3gram_frac"),
+        _frac(3, "dup").alias("dup_3gram_frac"),
+    )

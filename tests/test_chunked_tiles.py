@@ -155,9 +155,14 @@ class TestTileEdgeCases:
 
 
 class TestABChunked:
-    def test_ab_tiles_equal_whole(self, spark):
+    @pytest.mark.parametrize("grid_step", [None, 1])
+    def test_ab_tiles_equal_whole(self, spark, grid_step):
         """Tiled AB-join reproduces matrix_profile_ab values exactly
-        (both directions), with bounded per-task segments."""
+        (both directions), with bounded per-task segments — via both
+        the window-sort and the arithmetic grid_step position paths
+        (the input is a regular step-1 grid, so grid_step=1 takes the
+        sort-free branch; irregular fallback is covered by the shared
+        _grid_positions test in TestChunkedTiles)."""
         from go_matrixprofile_spark.kernels import siggen
         from go_matrixprofile_spark.operators.profile import (
             matrix_profile_ab,
@@ -191,7 +196,9 @@ class TestABChunked:
             .toPandas()
         )
         got = (
-            matrix_profile_ab_chunked(src_a, src_b, w=w, tile_points=100)
+            matrix_profile_ab_chunked(
+                src_a, src_b, w=w, tile_points=100, grid_step=grid_step
+            )
             .orderBy(key)
             .toPandas()
         )

@@ -114,3 +114,83 @@ class TestJaccardCandidates:
         want = round(len(s0 & s1) / len(s0 | s1), 4)
         got01 = got[(got.a_id == 0) & (got.b_id == 1)]["jaccard"].iloc[0]
         assert abs(got01 - want) < 1e-9
+
+
+class TestRepetitionStats:
+    def test_hand_computed_fractions(self, spark):
+        """Gopher repetition signals on hand-countable docs: a degenerate
+        'a a a a' doc maxes every fraction; a all-distinct doc zeroes the
+        dup fractions; a 2-word doc yields NULL 3-gram fractions."""
+        import pandas as pd
+
+        from go_matrixprofile_spark.operators.text import repetition_stats
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": ["a a a a", "w x y z", "p q"],
+                }
+            )
+        )
+        got = (
+            repetition_stats(docs).orderBy("doc_id").toPandas().set_index("doc_id")
+        )
+        # doc 0: 4x 'a' -> top/dup 1gram = 1.0; 3x 'a a' -> 1.0; 2x 'a a a'
+        assert got.loc[0, "n_words"] == 4
+        assert got.loc[0, "top_1gram_frac"] == 1.0
+        assert got.loc[0, "dup_1gram_frac"] == 1.0
+        assert got.loc[0, "top_2gram_frac"] == 1.0
+        assert got.loc[0, "top_3gram_frac"] == 1.0
+        # doc 1: all grams distinct -> top = 1/total, dup = 0
+        assert got.loc[1, "n_words"] == 4
+        assert got.loc[1, "top_1gram_frac"] == 0.25
+        assert got.loc[1, "dup_1gram_frac"] == 0.0
+        assert round(got.loc[1, "top_2gram_frac"], 4) == round(1 / 3, 4)
+        assert got.loc[1, "dup_3gram_frac"] == 0.0
+        # doc 2: only 2 words -> no 3-grams -> NULL fracs, 2-gram present
+        assert got.loc[2, "n_words"] == 2
+        assert got.loc[2, "top_2gram_frac"] == 1.0
+        assert pd.isna(got.loc[2, "top_3gram_frac"])
+        assert pd.isna(got.loc[2, "dup_3gram_frac"])
+
+
+class TestWinnowDupPairs:
+    def test_shared_passage_found_boilerplate_gated(self, spark):
+        """Two docs sharing a 60-char passage inside otherwise-different
+        text are reported (SWA guarantee: every common substring of
+        length >= k+window-1 = 11 shares a fingerprint); docs with no
+        overlap are not; a boilerplate string present in EVERY doc is
+        df-gated out and creates no pairs on its own."""
+        import pandas as pd
+
+        from go_matrixprofile_spark.operators.dedup import winnow_dup_pairs
+
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+
+        def salt(n):
+            return "".join(rng.choice(list("abcdefghij"), n))
+
+        passage = "the quick brown fox jumps over the lazy dog again and again"
+        boiler = "standard header boilerplate"
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2, 3],
+                    "text": [
+                        f"{boiler} {salt(80)} {passage} {salt(80)}",
+                        f"{boiler} {salt(80)} {passage} {salt(80)}",
+                        f"{boiler} {salt(160)}",
+                        f"{boiler} {salt(160)}",
+                    ],
+                }
+            )
+        )
+        got = winnow_dup_pairs(
+            docs, k=8, window=4, min_shared=5, max_df=2
+        ).toPandas()
+        pairs = set(zip(got["a_id"], got["b_id"]))
+        assert (0, 1) in pairs
+        assert (2, 3) not in pairs  # only boilerplate in common, df-gated
