@@ -301,3 +301,38 @@ class TestGoldenDiscoveryThroughSpark:
             [0.1459619228330262, 0.3352336136782056, 0.46369664551715467],
             atol=1e-7,
         )
+
+
+class TestJsonlSource:
+    def test_roundtrip_and_corrupt_quarantine(self, spark, transcripts, tmp_path):
+        """JSONL source: write → read round-trips the transcript corpus
+        exactly (incl. microsecond timestamps); a malformed line is
+        quarantined to _corrupt_record, not fatal, and excluded from the
+        clean view."""
+        from go_matrixprofile_spark.sources.jsonl import (
+            read_transcripts_jsonl,
+            write_transcripts_jsonl,
+        )
+
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "tx.jsonl")
+        write_transcripts_jsonl(transcripts, path)
+        back = read_transcripts_jsonl(spark, path)
+        cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        a = transcripts.select(cols).orderBy("conv_id", "turn_idx").toPandas()
+        b = back.select(cols).orderBy("conv_id", "turn_idx").toPandas()
+        pd.testing.assert_frame_equal(a, b)
+
+        # inject a malformed line alongside the good files
+        (tmp_path / "tx.jsonl" / "bad.json").write_text(
+            '{"conv_id": "x", "turn_idx": not-json}\n'
+        )
+        clean = read_transcripts_jsonl(spark, path)
+        quarantined = read_transcripts_jsonl(spark, path, keep_corrupt=True)
+        assert clean.count() == len(a)
+        # Spark disallows plans that reference ONLY the corrupt column
+        # on a raw JSON scan (count() prunes to just the filter column);
+        # materialize full rows, as a dead-letter sink would
+        bad = quarantined.toPandas()
+        assert bad["_corrupt_record"].notna().sum() == 1
