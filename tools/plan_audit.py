@@ -187,6 +187,27 @@ def main() -> int:
         must_not=["CartesianProduct"],
     )
 
+    # 9. substring-level dedup: fingerprint document frequency is a
+    #    map-side-combinable partial agg + join (the df-gate), the
+    #    self-join is a hash join on fp — no cartesian, no frameless
+    #    hot-key Window beyond the per-doc winnowing sort
+    check(
+        "winnow_dup_pairs: df-gate via partial agg, fp self-join hashed",
+        qs["winnow_dup_pairs"](spark, sf_dir),
+        must=["partial_count", "Join"],
+        must_not=["CartesianProduct"],
+    )
+
+    # 10. repetition stats: both aggregations split partial/final
+    #     (gram counts combine map-side before any exchange); keys all
+    #     include doc_id so no hot key exists
+    check(
+        "quality_repetition: partial-agg gram counts, no window",
+        qs["quality_repetition"](spark, sf_dir),
+        must=["partial_count", "hashpartitioning"],
+        must_not=["CartesianProduct", "Window"],
+    )
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
