@@ -173,6 +173,14 @@ def _bench_queries(spark, sf_dir: str, include_doc_queries: bool = True):
         t0 = time.time()
         stats["knn_rows"] = knn_brute_cosine(embeddings, n_queries=8, k=5).count()
         times["q_knn"] = time.time() - t0
+        # substring-level dedup (winnowing fp self-join, df-gated)
+        from go_matrixprofile_spark.operators.dedup import winnow_dup_pairs
+
+        t0 = time.time()
+        stats["winnow_pairs"] = winnow_dup_pairs(
+            documents, k=8, window=4, min_shared=5, max_df=25
+        ).count()
+        times["q_winnow"] = time.time() - t0
 
     return times, stats
 
