@@ -116,6 +116,53 @@ def stream_rollup_1m(
     )
 
 
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    watermark: str = "1 hour",
+):
+    """Streaming exact dedup: keep the first-seen document per
+    md5(text) within the watermark horizon, append-only survivors.
+
+    The scale-critical choice is ``dropDuplicatesWithinWatermark``
+    (not ``dropDuplicates``): dedup state is keyed by text hash and
+    EVICTED once the watermark passes, so state is bounded by the
+    duplicate-arrival horizon instead of growing with every distinct
+    document ever ingested — the difference between a deployable
+    100-TB/day ingest and an OOM. Cross-horizon dedup belongs to the
+    batch operators (operators/dedup.py) over the landed table.
+    Checkpointed: restarts resume the state, so a duplicate arriving
+    in a later run (within the watermark) is still dropped.
+
+    Input schema: (doc_id long, text string, ts timestamp) parquet
+    files. Use trigger(availableNow=True) for catch-up runs.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+    )
+    deduped = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .withColumn("text_hash", F.md5("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
 def read_tier(spark: SparkSession, tier_dir: str) -> DataFrame:
     """Live view of a streamed tier: latest write wins per key.
 

@@ -249,3 +249,60 @@ class TestStatefulStreamingMP:
         real = latest[latest["offset"] >= 0]
         assert len(real) == 30 - w + 1
         assert set(latest["seq"]) == {1}
+
+
+class TestStreamDedup:
+    def test_first_seen_kept_state_survives_restart(self, spark, tmp_path):
+        """Streaming exact dedup: one survivor per distinct text within
+        the watermark; a duplicate arriving in a LATER run (same
+        checkpoint) is still dropped — the dedup state is durable."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from go_matrixprofile_spark.streaming.ingest import stream_dedup_exact
+
+        in_dir = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        out_dir = str(tmp_path / "out")
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+        def write_batch(rows, name):
+            pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+            spark.createDataFrame(pdf).selectExpr(
+                "CAST(doc_id AS LONG) doc_id", "text", "CAST(ts AS TIMESTAMP) ts"
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+
+        write_batch(
+            [
+                (0, "alpha doc", t0),
+                (1, "beta doc", t0 + dt.timedelta(minutes=1)),
+                (2, "alpha doc", t0 + dt.timedelta(minutes=2)),  # dup in-batch
+            ],
+            "b1",
+        )
+        q = stream_dedup_exact(spark, in_dir, ckpt, out_dir).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+        got1 = spark.read.parquet(out_dir).toPandas()
+        assert sorted(got1["text"].unique()) == ["alpha doc", "beta doc"]
+        assert len(got1) == 2
+
+        # run 2: a late duplicate (within watermark) + one new doc
+        write_batch(
+            [
+                (3, "beta doc", t0 + dt.timedelta(minutes=3)),  # dup across runs
+                (4, "gamma doc", t0 + dt.timedelta(minutes=4)),
+            ],
+            "b2",
+        )
+        q = stream_dedup_exact(spark, in_dir, ckpt, out_dir).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+        got2 = spark.read.parquet(out_dir).toPandas()
+        assert len(got2) == 3
+        assert sorted(got2["text"]) == ["alpha doc", "beta doc", "gamma doc"]
+        # the kept beta row is the FIRST-seen one (doc_id 1, not 3)
+        assert set(got2["doc_id"]) == {0, 1, 4}
