@@ -1,11 +1,12 @@
-"""Pure-NumPy media codecs: RIFF/WAV PCM16 and binary PPM (P6).
+"""Pure-NumPy media codecs: RIFF/WAV PCM16, binary PPM (P6), baseline
+JPEG (ITU T.81), and MJPEG-in-AVI video.
 
-These two formats are fully specified byte layouts that need no
-external codec library, so the engine decodes them for REAL — the
-multimodal stub (operators/multimodal.py) remains only for formats
-that genuinely require PIL/ffmpeg (jpeg/mp3/mp4), which this container
-lacks. Encoders exist so tests and the synthetic corpus can produce
-valid payloads deterministically.
+These formats are fully specified byte layouts that need no external
+codec library, so the engine decodes them for REAL — the multimodal
+stub (operators/multimodal.py) remains only for formats that genuinely
+require ffmpeg (mp3/mp4), which this container lacks. Encoders exist
+so tests and the synthetic corpus can produce valid payloads
+deterministically.
 """
 
 from __future__ import annotations
@@ -545,6 +546,115 @@ def jpeg_features(buf: bytes, dim: int = 16) -> list[float]:
     means = px.reshape(-1, 3).mean(axis=0)
     lum = px @ np.array([0.299, 0.587, 0.114])
     head = [float(w), float(h), float(means[0]), float(means[1]), float(means[2])]
+    k = max(1, dim - len(head))
+    hist, _ = np.histogram(lum, bins=k, range=(0.0, 255.0))
+    hist = hist.astype(np.float64) / max(1, lum.size)
+    return (head + hist.tolist())[:dim]
+
+
+# ---------------------------------------------------------------- MJPEG/AVI
+
+def encode_mjpeg_avi(
+    frames: np.ndarray, fps: int = 10, quality: int = 85
+) -> bytes:
+    """Motion-JPEG in a RIFF AVI container from (n, h, w, 3) uint8
+    frames: proper avih/strh/strf headers, one '00dc' chunk per frame
+    (each a standalone baseline JPEG), plus an idx1 index."""
+    frames = np.asarray(frames)
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("frames must be (n, h, w, 3) uint8")
+    n, h, w = frames.shape[:3]
+    jpegs = [encode_jpeg_baseline(f, quality=quality) for f in frames]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    max_size = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        1000000 // fps,  # microseconds per frame
+        max_size * fps,  # max bytes per second
+        0, 0x10,         # padding, flags (AVIF_HASINDEX)
+        n, 0, 1, 0,      # total frames, initial, streams, sug. buffer
+        w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0, n, max_size, 0xFFFFFFFF & -1, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame, offsets relative to 'movi' fourcc
+    off = 4
+    idx_entries = []
+    for j in jpegs:
+        idx_entries.append(b"00dc" + struct.pack("<III", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_mjpeg_avi(buf: bytes) -> np.ndarray:
+    """(n, h, w, 3) uint8 frames from an MJPEG AVI: walk the RIFF
+    chunk tree to the 'movi' LIST and decode every '00dc'/'00db'
+    chunk as a baseline JPEG. Raises ValueError on malformed input."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI payload")
+
+    def walk(data: bytes, want: bytes) -> bytes | None:
+        pos = 0
+        while pos + 8 <= len(data):
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + size]
+            if fourcc == b"LIST":
+                if body[:4] == want:
+                    return body[4:]
+                found = walk(body[4:], want)
+                if found is not None:
+                    return found
+            pos += 8 + size + (size % 2)
+        return None
+
+    movi = walk(buf[12:], b"movi")
+    if movi is None:
+        raise ValueError("AVI has no movi list")
+    frames = []
+    pos = 0
+    while pos + 8 <= len(movi):
+        fourcc = movi[pos : pos + 4]
+        (size,) = struct.unpack("<I", movi[pos + 4 : pos + 8])
+        if fourcc in (b"00dc", b"00db"):
+            frames.append(decode_jpeg_baseline(movi[pos + 8 : pos + 8 + size]))
+        pos += 8 + size + (size % 2)
+    if not frames:
+        raise ValueError("AVI movi list has no video frames")
+    return np.stack(frames)
+
+
+def mjpeg_features(buf: bytes, dim: int = 16) -> list[float]:
+    """Real video features from a decoded MJPEG AVI: dims, frame
+    count, mean luminance, mean inter-frame motion energy, plus a
+    luminance histogram — the fixed head keeps video features
+    format-agnostic downstream (cf. ppm_features/jpeg_features)."""
+    fr = decode_mjpeg_avi(buf).astype(np.float64)
+    n, h, w = fr.shape[:3]
+    lum = fr @ np.array([0.299, 0.587, 0.114])
+    motion = (
+        float(np.mean(np.abs(np.diff(lum, axis=0)))) if n > 1 else 0.0
+    )
+    head = [float(w), float(h), float(n), float(lum.mean()), motion]
     k = max(1, dim - len(head))
     hist, _ = np.histogram(lum, bins=k, range=(0.0, 255.0))
     hist = hist.astype(np.float64) / max(1, lum.size)

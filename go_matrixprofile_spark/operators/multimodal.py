@@ -7,12 +7,13 @@ cross a per-row Python boundary.
 Two decode tiers:
 - REAL decode for byte formats needing no codec library, parsed with
   pure NumPy (functions/media.py): RIFF/WAV PCM16 (kind='wav'),
-  binary PPM (kind='ppm'), and baseline sequential JPEG per ITU T.81
-  (kind='image' with an FFD8 payload) — duration/RMS/ZCR/spectral-
+  binary PPM (kind='ppm'), baseline sequential JPEG per ITU T.81
+  (kind='image' with an FFD8 payload), and MJPEG-in-AVI video
+  (kind='video' with a RIFF/AVI payload) — duration/RMS/ZCR/spectral-
   centroid for audio, dims/channel-means/luminance-histogram for
-  images.
-- STUB only for mp3/mp4 stand-ins (kinds 'audio'/'video'), which
-  genuinely require ffmpeg: decode_stub=True (default) derives a
+  images, dims/frame-count/motion-energy/luminance for video.
+- STUB only for the mp3 stand-in (kind 'audio') and non-AVI video,
+  which genuinely require ffmpeg: decode_stub=True (default) derives a
   deterministic signature from payload byte statistics so plumbing,
   schemas, batch shapes, and partitioning stay fully real and
   testable; decode_stub=False raises NotImplementedError at the
@@ -73,6 +74,7 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.media import (
             encode_jpeg_baseline,
+            encode_mjpeg_avi,
             encode_ppm,
             encode_wav_pcm16,
         )
@@ -107,14 +109,28 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                         np.clip(px, 0, 255).astype(np.uint8), quality=85
                     )
                     meta = {"width": w, "height": h, "sample_rate": None, "n_frames": None}
-                else:
+                elif kind == "video":
+                    # real MJPEG AVI: drifting gradient, a few frames
+                    w = int(rng.integers(8, 32))
+                    h = int(rng.integers(8, 32))
+                    nf = int(rng.integers(2, 8))
+                    gx = np.linspace(0, 200, w)[None, :].repeat(h, axis=0)
+                    frames = np.stack(
+                        [np.clip(gx + 10.0 * f, 0, 255) for f in range(nf)]
+                    )
+                    frames = np.repeat(
+                        frames[..., None], 3, axis=-1
+                    ).astype(np.uint8)
+                    payload = encode_mjpeg_avi(frames, fps=5, quality=85)
+                    meta = {"width": w, "height": h, "sample_rate": None, "n_frames": nf}
+                else:  # 'audio' (mp3 stand-in): opaque stub payload
                     size = int(rng.integers(256, 4096))
                     payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
                     meta = {
-                        "width": int(rng.integers(16, 512)) if kind != "audio" else None,
-                        "height": int(rng.integers(16, 512)) if kind != "audio" else None,
-                        "sample_rate": 16000 if kind == "audio" else None,
-                        "n_frames": int(rng.integers(1, 300)) if kind == "video" else None,
+                        "width": None,
+                        "height": None,
+                        "sample_rate": 16000,
+                        "n_frames": None,
                     }
                 rows.append((int(i), kind, payload, meta))
             yield pd.DataFrame(rows, columns=["doc_id", "kind", "payload", "meta"])
@@ -127,17 +143,22 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract media payloads (Arrow-batched).
 
-    WAV (RIFF/PCM16), PPM (P6) and baseline JPEG (ITU T.81 SOF0) decode
-    for REAL via the pure-NumPy codecs in functions.media. Only mp3/mp4
-    remain stubbed (genuinely codec-library-bound): with
-    decode_stub=True the "decoder" derives a deterministic dim-float
-    signature from payload byte statistics — the Spark-side plumbing
-    (schema, batching, partitioning, binary transport) is identical to
-    a real decoder.
+    WAV (RIFF/PCM16), PPM (P6), baseline JPEG (ITU T.81 SOF0) and
+    MJPEG-in-AVI video decode for REAL via the pure-NumPy codecs in
+    functions.media. Only mp3 (and non-AVI video) remain stubbed
+    (genuinely codec-library-bound): with decode_stub=True the
+    "decoder" derives a deterministic dim-float signature from payload
+    byte statistics — the Spark-side plumbing (schema, batching,
+    partitioning, binary transport) is identical to a real decoder.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.media import jpeg_features, ppm_features, wav_features
+        from ..functions.media import (
+            jpeg_features,
+            mjpeg_features,
+            ppm_features,
+            wav_features,
+        )
 
         for pdf in batches:
             out = []
@@ -149,9 +170,16 @@ def extract_features(
                     feat = np.asarray(ppm_features(buf, dim), dtype=np.float32)
                 elif row.kind == "image" and buf[:2] == b"\xff\xd8":
                     feat = np.asarray(jpeg_features(buf, dim), dtype=np.float32)
+                elif (
+                    row.kind == "video"
+                    and buf[:4] == b"RIFF"
+                    and buf[8:12] == b"AVI "
+                ):
+                    feat = np.asarray(mjpeg_features(buf, dim), dtype=np.float32)
                 elif not decode_stub:
                     raise NotImplementedError(
-                        "mp3/mp4 decode requires ffmpeg, absent in this image"
+                        "mp3 (and non-AVI video) decode requires ffmpeg, "
+                        "absent in this image"
                     )
                 else:
                     arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
@@ -178,9 +206,14 @@ def extract_features(
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emits one row per
-    sampled frame index with a per-frame byte slice (stubbed decode —
-    slices stand in for decoded frames)."""
+    """Frame sampling for video payloads: one row per sampled frame.
+
+    MJPEG-AVI payloads are REAL: frame_bytes is the sampled frame's own
+    standalone JPEG ('00dc' chunk body), decodable downstream with
+    decode_jpeg_baseline — the image feature path applies per frame.
+    Non-AVI payloads keep the stub behavior (even byte slices stand in
+    for frames) so the plumbing stays exercised for formats that would
+    need ffmpeg."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -190,13 +223,51 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
+                buf = bytes(row.payload)
+                if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+                    # walk to the movi list, emit every_n-th jpeg chunk
+                    def walk(data: bytes, want: bytes) -> bytes | None:
+                        pos = 0
+                        while pos + 8 <= len(data):
+                            fourcc = data[pos : pos + 4]
+                            (size,) = struct.unpack(
+                                "<I", data[pos + 4 : pos + 8]
+                            )
+                            body = data[pos + 8 : pos + 8 + size]
+                            if fourcc == b"LIST":
+                                if body[:4] == want:
+                                    return body[4:]
+                                found = walk(body[4:], want)
+                                if found is not None:
+                                    return found
+                            pos += 8 + size + (size % 2)
+                        return None
+
+                    movi = walk(buf[12:], b"movi") or b""
+                    pos, f_idx = 0, 0
+                    while pos + 8 <= len(movi):
+                        fourcc = movi[pos : pos + 4]
+                        (size,) = struct.unpack("<I", movi[pos + 4 : pos + 8])
+                        if fourcc in (b"00dc", b"00db"):
+                            if f_idx % every_n == 0:
+                                rows.append(
+                                    (
+                                        row.doc_id,
+                                        f_idx,
+                                        movi[pos + 8 : pos + 8 + size],
+                                    )
+                                )
+                            f_idx += 1
+                        pos += 8 + size + (size % 2)
+                    continue
                 n_frames = row.meta["n_frames"] if row.meta is not None else None
                 if not n_frames:
                     continue
-                buf = bytes(row.payload)
                 per = max(1, len(buf) // int(n_frames))
                 for f_idx in range(0, int(n_frames), every_n):
                     rows.append((row.doc_id, f_idx, buf[f_idx * per : (f_idx + 1) * per]))

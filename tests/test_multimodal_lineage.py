@@ -27,8 +27,8 @@ class TestMultimodal:
         )
         from py4j.protocol import Py4JJavaError
 
-        # 5 docs covers the audio/video kinds, which remain stubbed
-        # (wav/ppm/jpeg now decode for real and do NOT raise)
+        # 5 docs covers the audio kind, the one remaining stub
+        # (wav/ppm/jpeg/mjpeg-avi decode for real and do NOT raise)
         media = synthesize_media(spark, 5)
         with pytest.raises(Exception):
             extract_features(media, decode_stub=False).count()
@@ -212,3 +212,53 @@ class TestLineage:
         assert set(lin["partition_key"]) == {"c1", "c2", "c3"}
         # no duplicate lineage rows per partition
         assert lin.groupby("partition_key").size().max() == 1
+
+
+class TestMjpegVideo:
+    def test_avi_roundtrip_and_real_features(self, spark):
+        """MJPEG-AVI codec: constant frames roundtrip exactly; the Spark
+        feature extractor decodes kind='video' AVIs for REAL (dims,
+        frame count, motion energy); frame_sample emits standalone
+        decodable JPEGs."""
+        import pandas as pd
+
+        from go_matrixprofile_spark.functions.media import (
+            decode_jpeg_baseline,
+            decode_mjpeg_avi,
+            encode_mjpeg_avi,
+        )
+        from go_matrixprofile_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+            frame_sample,
+        )
+
+        nf, h, w = 5, 16, 24
+        frames = np.zeros((nf, h, w, 3), dtype=np.uint8)
+        for i in range(nf):
+            frames[i, :, :, :] = 40 * i + 20  # constant per frame, steps of 40
+        buf = encode_mjpeg_avi(frames, fps=5, quality=90)
+        np.testing.assert_array_equal(decode_mjpeg_avi(buf), frames)
+
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                [(0, "video", buf, {"width": w, "height": h,
+                                    "sample_rate": None, "n_frames": nf})],
+                columns=["doc_id", "kind", "payload", "meta"],
+            ),
+            schema=MEDIA_SCHEMA,
+        )
+        feat = extract_features(media, dim=16, decode_stub=False).toPandas()[
+            "feature"
+        ].iloc[0]
+        fw, fh, fn, mean_lum, motion = feat[:5]
+        assert (fw, fh, fn) == (float(w), float(h), float(nf))
+        # constant frames at 20,60,...,180 -> mean 100, inter-frame |diff| 40
+        assert abs(mean_lum - 100.0) <= 2.0
+        assert abs(motion - 40.0) <= 2.0
+
+        sampled = frame_sample(media, every_n=2).toPandas()
+        assert list(sampled["frame_idx"]) == [0, 2, 4]
+        px = decode_jpeg_baseline(bytes(sampled["frame_bytes"].iloc[1]))
+        assert px.shape == (h, w, 3)
+        np.testing.assert_array_equal(px, frames[2])
