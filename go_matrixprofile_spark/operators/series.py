@@ -127,9 +127,43 @@ def sessionize(transcripts: DataFrame, gap_seconds: float = 1800.0) -> DataFrame
 
 
 def derive_series(transcripts: DataFrame) -> DataFrame:
-    """All three metrics unioned into one long-format series table."""
-    return (
-        text_len_series(transcripts)
-        .unionByName(inter_turn_latency_series(transcripts))
-        .unionByName(turn_rate_series(transcripts))
+    """All three metrics in one long-format series table.
+
+    Fused plan: text_len and inter-turn latency share a SINGLE scan and
+    a single per-conv window (one projection computes both, an explode
+    of two metric structs goes long), and turn_rate adds its bucket
+    aggregation — two scans of the transcript table instead of the
+    naive three unioned single-metric plans. At corpus scale the scan
+    is the dominant cost of this stage, so the fusion is a ~1/3 IO cut;
+    values are bit-identical to the per-metric functions above (which
+    remain the oracle-checked single-metric paths)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    sec = ts_seconds()
+    pts = transcripts.select(
+        "conv_id",
+        sec.alias("sec"),
+        F.length("text").cast("double").alias("len"),
+        (sec - F.lag(sec).over(w)).alias("lat"),
     )
+    two = (
+        pts.select(
+            "conv_id",
+            F.col("sec").alias("bucket_s"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(METRIC_TEXT_LEN).alias("metric"),
+                        F.col("len").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit(METRIC_LATENCY).alias("metric"),
+                        F.col("lat").alias("value"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("conv_id", "e.metric", "bucket_s", "e.value")
+        # drops exactly the first-turn latency rows (len is never null)
+        .where(F.col("value").isNotNull())
+    )
+    return two.unionByName(turn_rate_series(transcripts))

@@ -187,6 +187,33 @@ def main() -> int:
         must_not=["CartesianProduct"],
     )
 
+    # 8b. fused series derivation: text_len + latency share one scan +
+    #     one window (explode of metric structs); only turn_rate adds a
+    #     second scan — two parquet scans, not the naive three unioned
+    #     single-metric plans (a full-corpus scan saved per pipeline
+    #     run). Formatted plans print each scan node twice (tree +
+    #     detail), so 2 physical scans == 4 occurrences.
+    from go_matrixprofile_spark.operators.series import derive_series
+
+    p = plan_of(
+        derive_series(
+            transcripts_from_events(
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+            )
+        )
+    )
+    checks.append(
+        (
+            "derive_series: fused two-scan plan (explode of metric structs)",
+            p,
+            [
+                ("exactly 2 parquet scans", p.count("Scan parquet") == 4),
+                ("explode fuses the point metrics", "Generate" in p),
+                ("single Union of the two branches", p.count("Union") == 2),
+            ],
+        )
+    )
+
     # 9. substring-level dedup: fingerprint document frequency is a
     #    map-side-combinable partial agg + join (the df-gate), the
     #    self-join is a hash join on fp — no cartesian, no frameless
