@@ -194,3 +194,82 @@ class TestWinnowDupPairs:
         pairs = set(zip(got["a_id"], got["b_id"]))
         assert (0, 1) in pairs
         assert (2, 3) not in pairs  # only boilerplate in common, df-gated
+
+
+class TestNewOpProperties:
+    """Randomized (seeded) structural properties, batched into single
+    Spark jobs: 30 random docs cross-checked against a pure-Python
+    reference for repetition_stats; 12 doc-pair groups with planted
+    shared passages for the winnowing SWA guarantee."""
+
+    def test_repetition_stats_matches_python_reference(self, spark):
+        import collections
+
+        import numpy as np
+        import pandas as pd
+
+        from go_matrixprofile_spark.operators.text import repetition_stats
+
+        rng = np.random.default_rng(42)
+        vocab = ["aa", "bb", "cc", "dd", "ee"]
+        docs = []
+        for i in range(30):
+            n = int(rng.integers(1, 40))
+            docs.append((i, " ".join(rng.choice(vocab, n))))
+        sdf = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+        got = (
+            repetition_stats(sdf).orderBy("doc_id").toPandas().set_index("doc_id")
+        )
+
+        def r4(x):  # Spark/DuckDB ROUND is half-up; Python round is banker's
+            import math
+
+            return math.floor(x * 10000 + 0.5) / 10000
+
+        def ref(text, n):
+            ws = text.split(" ")
+            grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+            if not grams:
+                return None, None
+            c = collections.Counter(grams)
+            total = sum(c.values())
+            top = max(c.values()) / total
+            dup = sum(v for v in c.values() if v > 1) / total
+            return r4(top), r4(dup)
+
+        for i, text in docs:
+            for n in (1, 2, 3):
+                top, dup = ref(text, n)
+                gt = got.loc[i, f"top_{n}gram_frac"]
+                gd = got.loc[i, f"dup_{n}gram_frac"]
+                if top is None:
+                    assert pd.isna(gt) and pd.isna(gd), (i, n)
+                else:
+                    assert gt == top and gd == dup, (i, n, text, gt, top, gd, dup)
+
+    def test_winnow_swa_guarantee_randomized(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from go_matrixprofile_spark.operators.dedup import winnow_dup_pairs
+
+        rng = np.random.default_rng(7)
+        # per-group distinct alphabets keep cross-group 8-gram overlap
+        # improbable; the planted passage guarantees >= 5 shared fps
+        # (length 60 >> k + window - 1 = 11)
+        alphabets = ["abcdefgh", "ijklmnop", "qrstuvwx", "yzABCDEF",
+                     "GHIJKLMN", "OPQRSTUV", "WXYZ0123", "456789_-",
+                     "abcdwxyz", "efghijkl", "mnopqrst", "uvwxEFGH"]
+        docs = []
+        for g, ab in enumerate(alphabets):
+            passage = "".join(rng.choice(list(ab), 60))
+            for j in range(2):
+                salt = "".join(rng.choice(list(ab), 120))
+                docs.append((2 * g + j, salt[:60] + passage + salt[60:]))
+        sdf = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+        got = winnow_dup_pairs(sdf, k=8, window=4, min_shared=5, max_df=4).toPandas()
+        pairs = set(zip(got["a_id"], got["b_id"]))
+        for g in range(len(alphabets)):
+            assert (2 * g, 2 * g + 1) in pairs, f"planted pair of group {g} missed"
+        for a, b in pairs:
+            assert a // 2 == b // 2, f"spurious cross-group pair ({a},{b})"
