@@ -206,6 +206,13 @@ def q_winnow_fingerprints(spark, sf_dir):
     return TX.winnow_fingerprints(_documents(spark, sf_dir), k=8, window=4)
 
 
+def q_knn_pq_adc(spark, sf_dir):
+    """ORACLE-CHECKED product-quantization ANN: deterministic per-
+    subvector codebooks, L2-nearest codes, asymmetric-distance top-k
+    over the 16x-compressed code table (the memory-bounded scale path)."""
+    return SS.knn_pq_adc(_embeddings(spark, sf_dir), n_queries=8, k=5)
+
+
 def q_winnow_dup_pairs(spark, sf_dir):
     """ORACLE-CHECKED substring-level near-dup pairs: docs sharing >= 5
     rare winnowing fingerprints (SWA guarantee — every common substring
@@ -866,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute_cosine": q_knn_brute_cosine,
         "knn_lsh_cosine": q_knn_lsh_cosine,
         "knn_ivf_cosine": q_knn_ivf_cosine,
+        "knn_pq_adc": q_knn_pq_adc,
         "lsh_signatures": q_lsh_signatures,
         "cosine_near_dup": q_cosine_near_dup,
         "update_equivalence": q_update_equivalence,
@@ -885,7 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp_ab_chunked_oracle": q_mp_ab_chunked_oracle,
         "mp_stamp_oracle": q_mp_stamp_oracle,
         "mp_stmp_oracle": q_mp_stmp_oracle,
-        # ---- full-scale variants, rows-only by design (7) ----
+        # ---- full-scale variants, rows-only by design (6) ----
         # (mp_segments and mp_motifs dropped to keep the dict at the
         # driver's 50-row gate after winnow_dup_pairs and
         # quality_repetition joined the value-checked block: their
@@ -896,8 +904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp_discords": q_mp_discords,
         "kmp_event_types": q_kmp_event_types,
         "pmp_event_rate": q_pmp_event_rate,
+        # (mp_ab_join dropped for the 50-row gate when knn_pq_adc joined
+        # the value-checked block: the AB path is doubly value-checked by
+        # mp_ab_oracle AND mp_ab_chunked_oracle)
         "mpdist_pairs": q_mpdist_pairs,
-        "mp_ab_join": q_mp_ab_join,
         "mp_transcript_corpus": q_mp_transcript_corpus,
     }
 
@@ -1739,6 +1749,34 @@ FROM counts GROUP BY conv_id
         "knn_brute_cosine": _KNN_SQL,
         "knn_lsh_cosine": _KNN_LSH_SQL,
         "knn_ivf_cosine": _KNN_IVF_SQL,
+        "knn_pq_adc": f"""
+WITH {_DIMS},
+sub_d2 AS (
+  -- L2^2 of every (vec, subvector) against every codebook entry's
+  -- matching slice; codebook = first 16 vecs (deterministic), sub =
+  -- 16-dim slices. Same ROUND 6 quantization as the engine.
+  SELECT v.vec_id, CAST((v.i - 1) // 16 AS INT) AS sub, c.vec_id AS code,
+         ROUND(SUM((v.x - c.x) * (v.x - c.x)), 6) AS d2
+  FROM dims v JOIN dims c ON c.i = v.i AND c.vec_id < 16
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, sub, code FROM sub_d2
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) = 1
+),
+lut AS (SELECT vec_id AS qid, sub, code, d2 AS pd FROM sub_d2 WHERE vec_id < 8),
+approx AS (
+  SELECT l.qid, co.vec_id AS nid, ROUND(SUM(l.pd), 4) AS dist
+  FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code
+  WHERE l.qid <> co.vec_id
+  GROUP BY 1, 2
+)
+SELECT qid, CAST(rank AS INT) AS rank, nid, dist FROM (
+  SELECT qid, nid, dist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rank
+  FROM approx) WHERE rank <= 5
+""",
         "lsh_signatures": _LSH_SIG_SQL,
         "cosine_near_dup": _NEAR_DUP_SQL,
     }

@@ -313,3 +313,136 @@ def cosine_near_dup_pairs(
         .select("a_id", "b_id", F.round(_cosine(F.col("ae"), F.col("be")), 4).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def _l2sq(a, b):
+    # cast BEFORE subtracting: float32 arithmetic would drift vs the
+    # double-precision oracle
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codes(
+    embeddings: DataFrame, m_sub: int = 4, k_codes: int = 16, dim: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization codebooks + codes (deterministic).
+
+    The vector splits into m_sub subvectors of dim/m_sub dims; the
+    per-subvector codebook is the matching slice of the first k_codes
+    vectors by vec_id — deterministic and engine-portable, same policy
+    as ivf_assign (a k-means refinement would orbit these same plans).
+    Codes are the L2-nearest codebook entry per subvector, distances
+    quantized (ROUND 6) before the argmin with lowest-code tie-break so
+    the choice hashes identically across engines.
+
+    Returns (codebooks, codes): codebooks = (sub, code, ce) — tiny,
+    broadcastable (m_sub * k_codes rows); codes = (vec_id, sub, code) —
+    the 100-TB payoff: ceil(log2 k_codes) bits per subvector instead of
+    4 bytes per float dim (64-dim float32 -> 4 uint8 codes is a 16x-
+    64x memory cut), so the ADC scan touches codes, never raw vectors.
+    """
+    sub_len = dim // m_sub
+    if sub_len * m_sub != dim:
+        raise ValueError("m_sub must divide dim")
+    from pyspark.sql.window import Window
+
+    subs = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m_sub - 1)),
+            lambda s: F.struct(
+                s.cast("int").alias("sub"),
+                F.slice(F.col("embedding"), s * sub_len + 1, sub_len).alias("v"),
+            ),
+        )
+    ).alias("e")
+    cb = (
+        embeddings.where(F.col("vec_id") < k_codes)
+        .select(F.col("vec_id").alias("code"), subs)
+        .select("code", "e.sub", F.col("e.v").alias("ce"))
+    )
+    sv = embeddings.select("vec_id", subs).select(
+        "vec_id", "e.sub", F.col("e.v").alias("xe")
+    )
+    scored = sv.join(F.broadcast(cb), "sub").select(
+        "vec_id",
+        "sub",
+        "code",
+        F.round(_l2sq(F.col("xe"), F.col("ce")), 6).alias("d2"),
+    )
+    w_ = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w_))
+        .where("rn = 1")
+        .select("vec_id", "sub", "code")
+    )
+    return cb, codes
+
+
+def knn_pq_adc(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ ANN via asymmetric distance computation: approximate
+    ||q - x||^2 = sum over subvectors of ||q_s - codebook[code_s(x)]||^2.
+
+    Plan: the per-query lookup table (n_queries * m_sub * k_codes rows —
+    tiny) broadcasts against the LONG code table (N * m_sub rows of 3
+    ints), one hash aggregation sums the m_sub parts, a per-query
+    window ranks. The corpus-sized scan touches ONLY codes: no raw
+    vector leaves the codebook/query side, which is what makes the scan
+    memory-bound-feasible at 10^11 vectors. Distances are quantized
+    (ROUND 4) before ranking, ties broken by nid, so the top-k hashes
+    identically across engines.
+    """
+    sub_len = dim // m_sub
+    from pyspark.sql.window import Window
+
+    cb, codes = pq_codes(embeddings, m_sub, k_codes, dim)
+    q_subs = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m_sub - 1)),
+                    lambda s: F.struct(
+                        s.cast("int").alias("sub"),
+                        F.slice(F.col("embedding"), s * sub_len + 1, sub_len).alias("v"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("qid", "e.sub", F.col("e.v").alias("qe"))
+    )
+    lut = q_subs.join(cb, "sub").select(
+        "qid",
+        "sub",
+        "code",
+        F.round(_l2sq(F.col("qe"), F.col("ce")), 6).alias("pd"),
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", F.col("vec_id").alias("nid"))
+        .agg(F.round(F.sum("pd"), 4).alias("dist"))
+    )
+    w_ = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid").asc())
+    return (
+        approx.withColumn("rank", F.row_number().over(w_))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "dist")
+    )

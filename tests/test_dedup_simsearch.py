@@ -273,3 +273,43 @@ class TestNewOpProperties:
             assert (2 * g, 2 * g + 1) in pairs, f"planted pair of group {g} missed"
         for a, b in pairs:
             assert a // 2 == b // 2, f"spurious cross-group pair ({a},{b})"
+
+
+class TestPQADC:
+    def test_codes_identity_and_cluster_recall(self, spark):
+        """PQ: codebook vectors code to themselves (d2=0 identity); for
+        clustered data, a center-query's ADC top-k is exactly its noisy
+        copies (shared codes on every subvector -> approx dist 0)."""
+        import numpy as np
+        import pandas as pd
+
+        from go_matrixprofile_spark.operators.simsearch import knn_pq_adc, pq_codes
+
+        rng = np.random.default_rng(3)
+        dim, k_codes, copies = 64, 16, 3
+        centers = rng.choice([-1.0, 1.0], (k_codes, dim)) * rng.uniform(
+            0.5, 1.5, (k_codes, dim)
+        )
+        rows = [(i, centers[i].astype(np.float32).tolist(), i) for i in range(k_codes)]
+        vid = k_codes
+        for i in range(k_codes):
+            for _ in range(copies):
+                noisy = centers[i] + rng.normal(0, 0.01, dim)
+                rows.append((vid, noisy.astype(np.float32).tolist(), i))
+                vid += 1
+        emb = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+        )
+        _, codes = pq_codes(emb, m_sub=4, k_codes=k_codes, dim=dim)
+        cp = codes.toPandas()
+        own = cp[cp.vec_id < k_codes]
+        assert (own["code"] == own["vec_id"]).all()  # identity coding
+
+        top = knn_pq_adc(emb, n_queries=8, k=copies, m_sub=4,
+                         k_codes=k_codes, dim=dim).toPandas()
+        lab = {r[0]: r[2] for r in rows}
+        for q in range(8):
+            mine = top[top.qid == q]
+            assert len(mine) == copies
+            assert (mine["dist"] == 0.0).all()  # shared codes -> ADC 0
+            assert all(lab[n] == q for n in mine["nid"])

@@ -225,6 +225,15 @@ def main() -> int:
         must_not=["CartesianProduct"],
     )
 
+    # 9b. PQ ADC: the query LUT broadcasts against the long code table
+    #     (no cartesian); the corpus-sized side carries only codes
+    check(
+        "knn_pq_adc: broadcast LUT against the code table",
+        qs["knn_pq_adc"](spark, sf_dir),
+        must=["BroadcastHashJoin", "partial_sum"],
+        must_not=["CartesianProduct"],
+    )
+
     # 10. repetition stats: both aggregations split partial/final
     #     (gram counts combine map-side before any exchange); keys all
     #     include doc_id so no hot key exists
