@@ -330,29 +330,60 @@ def _l2sq(a, b):
     )
 
 
+def _pq_assign(sv: DataFrame, cb: DataFrame) -> DataFrame:
+    """L2-nearest codebook entry per (vec, subvector): distances
+    quantized (ROUND 6) before the argmin with lowest-code tie-break so
+    the choice hashes identically across engines."""
+    from pyspark.sql.window import Window
+
+    scored = sv.join(F.broadcast(cb), "sub").select(
+        "vec_id",
+        "sub",
+        "code",
+        F.round(_l2sq(F.col("xe"), F.col("ce")), 6).alias("d2"),
+    )
+    w_ = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_))
+        .where("rn = 1")
+        .select("vec_id", "sub", "code")
+    )
+
+
 def pq_codes(
-    embeddings: DataFrame, m_sub: int = 4, k_codes: int = 16, dim: int = 64
+    embeddings: DataFrame,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    dim: int = 64,
+    refine: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Product-quantization codebooks + codes (deterministic).
 
     The vector splits into m_sub subvectors of dim/m_sub dims; the
-    per-subvector codebook is the matching slice of the first k_codes
-    vectors by vec_id — deterministic and engine-portable, same policy
-    as ivf_assign (a k-means refinement would orbit these same plans).
-    Codes are the L2-nearest codebook entry per subvector, distances
-    quantized (ROUND 6) before the argmin with lowest-code tie-break so
-    the choice hashes identically across engines.
+    per-subvector SEED codebook is the matching slice of the first
+    k_codes vectors by vec_id — deterministic and engine-portable, same
+    policy as ivf_assign. ``refine`` > 0 runs that many Lloyd (k-means)
+    iterations on top: assign codes, recompute each (sub, code)
+    centroid as the element-wise mean of its assigned subvectors
+    (posexplode → per-position avg → re-assemble), empty clusters keep
+    their previous centroid. The refinement is deterministic (means of
+    a deterministic assignment) and every step is the same broadcast +
+    partial-agg plan shape — no driver-side data.
 
     Returns (codebooks, codes): codebooks = (sub, code, ce) — tiny,
     broadcastable (m_sub * k_codes rows); codes = (vec_id, sub, code) —
     the 100-TB payoff: ceil(log2 k_codes) bits per subvector instead of
     4 bytes per float dim (64-dim float32 -> 4 uint8 codes is a 16x-
     64x memory cut), so the ADC scan touches codes, never raw vectors.
+    The driver's oracle query runs refine=0 (the seed codebook is
+    SQL-expressible); refined codebooks are pinned by pytest
+    (quantization error must not increase per iteration).
     """
     sub_len = dim // m_sub
     if sub_len * m_sub != dim:
         raise ValueError("m_sub must divide dim")
-    from pyspark.sql.window import Window
 
     subs = F.explode(
         F.transform(
@@ -366,25 +397,30 @@ def pq_codes(
     cb = (
         embeddings.where(F.col("vec_id") < k_codes)
         .select(F.col("vec_id").alias("code"), subs)
-        .select("code", "e.sub", F.col("e.v").alias("ce"))
+        .select("code", "e.sub", F.transform("e.v", lambda x: x.cast("double")).alias("ce"))
     )
     sv = embeddings.select("vec_id", subs).select(
         "vec_id", "e.sub", F.col("e.v").alias("xe")
     )
-    scored = sv.join(F.broadcast(cb), "sub").select(
-        "vec_id",
-        "sub",
-        "code",
-        F.round(_l2sq(F.col("xe"), F.col("ce")), 6).alias("d2"),
-    )
-    w_ = Window.partitionBy("vec_id", "sub").orderBy(
-        F.col("d2").asc(), F.col("code").asc()
-    )
-    codes = (
-        scored.withColumn("rn", F.row_number().over(w_))
-        .where("rn = 1")
-        .select("vec_id", "sub", "code")
-    )
+    for _ in range(refine):
+        assigned = sv.join(_pq_assign(sv, cb), ["vec_id", "sub"])
+        elems = assigned.select(
+            "sub", "code", F.posexplode("xe").alias("pos", "v")
+        )
+        means = elems.groupBy("sub", "code", "pos").agg(
+            F.avg(F.col("v").cast("double")).alias("mv")
+        )
+        new_ce = means.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s["mv"],
+            ).alias("nce")
+        )
+        cb = (
+            cb.join(new_ce, ["sub", "code"], "left")
+            .select("sub", "code", F.coalesce("nce", "ce").alias("ce"))
+        )
+    codes = _pq_assign(sv, cb)
     return cb, codes
 
 

@@ -313,3 +313,58 @@ class TestPQADC:
             assert len(mine) == copies
             assert (mine["dist"] == 0.0).all()  # shared codes -> ADC 0
             assert all(lab[n] == q for n in mine["nid"])
+
+
+class TestPQRefine:
+    def test_lloyd_refinement_reduces_quantization_error(self, spark):
+        """refine=n runs deterministic Lloyd iterations: total
+        quantization error must strictly improve over the seed codebook
+        when the seeds are unrepresentative (all drawn from one
+        cluster), and never increase with more iterations."""
+        import numpy as np
+        import pandas as pd
+
+        from go_matrixprofile_spark.operators.simsearch import _l2sq, pq_codes
+
+        rng = np.random.default_rng(11)
+        dim = 64
+        # 4 well-separated cluster centers; the FIRST 16 vecs (the PQ
+        # seeds) all come from cluster 0, so the seed codebook is bad
+        centers = rng.normal(0, 1, (4, dim)) * 8
+        rows = []
+        vid = 0
+        for i in range(64):
+            c = 0 if vid < 16 else i % 4
+            rows.append(
+                (vid, (centers[c] + rng.normal(0, 0.2, dim)).astype(np.float32).tolist(), c)
+            )
+            vid += 1
+        emb = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+        )
+
+        def total_err(refine):
+            cb, codes = pq_codes(emb, m_sub=4, k_codes=16, dim=dim, refine=refine)
+            sub_len = dim // 4
+            subs = F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(3)),
+                    lambda s: F.struct(
+                        s.cast("int").alias("sub"),
+                        F.slice(F.col("embedding"), s * sub_len + 1, sub_len).alias("v"),
+                    ),
+                )
+            ).alias("e")
+            sv = emb.select("vec_id", subs).select(
+                "vec_id", "e.sub", F.col("e.v").alias("xe")
+            )
+            joined = sv.join(codes, ["vec_id", "sub"]).join(cb, ["sub", "code"])
+            return (
+                joined.agg(
+                    F.sum(_l2sq(F.col("xe"), F.col("ce"))).alias("err")
+                ).collect()[0]["err"]
+            )
+
+        e0, e1, e2 = total_err(0), total_err(1), total_err(2)
+        assert e1 < e0 * 0.5, (e0, e1)  # bad seeds -> big first-step win
+        assert e2 <= e1 + 1e-6, (e1, e2)  # monotone non-increasing
