@@ -55,18 +55,35 @@ def checkpoint_stage(
             lineage.where(
                 (F.col("stage") == stage) & (F.col("input_version") == input_version)
             )
-            .select(F.col("partition_key").alias(partition_col))
+            .select(F.col("partition_key").alias("__done_pk"))
             .distinct()
         )
-        pending = df.join(done, partition_col, "left_anti")
+        # partition_key is stored as STRING for every stage (keys can be
+        # conv_id strings or int buckets); compare on the cast
+        pending = df.join(
+            done,
+            F.col(partition_col).cast("string") == F.col("__done_pk"),
+            "left_anti",
+        )
 
     t0 = time.time()
     pending.write.mode("append").partitionBy(partition_col).parquet(out_path)
     wall_ms = int((time.time() - t0) * 1000)
 
+    # a legitimately EMPTY stage (e.g. a dedup table with no duplicate
+    # groups) writes only _SUCCESS — Spark cannot infer a schema from a
+    # data-file-less directory, so return the typed empty frame instead
+    # of failing the pipeline; no lineage rows to record either
+    has_data = os.path.exists(out_path) and any(
+        not name.startswith(("_", "."))
+        for name in os.listdir(out_path)
+    )
+    if not has_data:
+        return spark.createDataFrame([], schema=df.schema)
+
     counts = (
         spark.read.parquet(out_path)
-        .groupBy(F.col(partition_col).alias("partition_key"))
+        .groupBy(F.col(partition_col).cast("string").alias("partition_key"))
         .agg(F.count(F.lit(1)).alias("row_count"))
     )
     new_lineage = counts.select(

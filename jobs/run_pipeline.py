@@ -16,6 +16,10 @@ Stages (each checkpointed under --output):
   4. mp_profile   — MPX per conversation
   5. discords/motifs/segments — discovery tables
   6. compressed   — Gorilla blobs of the 1m tier
+  7. (with --docs) doc_quality / doc_dup_exact / doc_dup_substr —
+     the document-pipeline stages (Gopher repetition stats, exact
+     dedup groups, substring-level winnowing dup pairs), checkpointed
+     by doc_id bucket so resume works at bucket granularity
 """
 
 from __future__ import annotations
@@ -36,6 +40,7 @@ def main() -> None:
     ap.add_argument("--w", type=int, default=16)
     ap.add_argument("--gen-convs", type=int, default=0,
                     help="if >0 and --input missing, synthesize this many convs")
+    ap.add_argument("--docs", help="documents parquet (doc_id, text) for the doc-pipeline stages")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -60,9 +65,9 @@ def main() -> None:
     else:
         raise SystemExit("--input dir missing and --gen-convs not given")
 
-    def stage(name, df):
+    def stage(name, df, partition_col="conv_id"):
         t0 = time.time()
-        out = checkpoint_stage(df, args.output, name)
+        out = checkpoint_stage(df, args.output, name, partition_col=partition_col)
         n = out.count()
         metrics[name] = round(time.time() - t0, 2)
         metrics[f"{name}_rows"] = n
@@ -84,6 +89,39 @@ def main() -> None:
     stage("discords", discords)
     stage("segments", segments)
     stage("compressed", compress_series(series.where("metric = 'text_len'")))
+
+    if args.docs and os.path.exists(args.docs):
+        from pyspark.sql import functions as F
+
+        from go_matrixprofile_spark.operators.dedup import (
+            dedup_exact,
+            winnow_dup_pairs,
+        )
+        from go_matrixprofile_spark.operators.text import repetition_stats
+
+        docs = spark.read.parquet(args.docs)
+        # per-doc partitioning would be one dir per doc; bucket to 64
+        stage(
+            "doc_quality",
+            repetition_stats(docs).withColumn(
+                "doc_bucket", (F.col("doc_id") % 64).cast("int")
+            ),
+            partition_col="doc_bucket",
+        )
+        stage(
+            "doc_dup_exact",
+            dedup_exact(docs).withColumn(
+                "doc_bucket", (F.col("keep_doc_id") % 64).cast("int")
+            ),
+            partition_col="doc_bucket",
+        )
+        stage(
+            "doc_dup_substr",
+            winnow_dup_pairs(docs, min_shared=5, max_df=25).withColumn(
+                "doc_bucket", (F.col("a_id") % 64).cast("int")
+            ),
+            partition_col="doc_bucket",
+        )
 
     metrics["total_sec"] = round(time.time() - t_start, 2)
     print(json.dumps(metrics))
