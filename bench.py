@@ -245,6 +245,55 @@ def _ensure_scale_arrays(spark) -> str:
     return SCALE_ARRAYS_PATH
 
 
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "5000"))
+SCALE_DOCS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "_data", "scale_docs.parquet"
+)
+
+
+def _ensure_scale_docs(spark) -> str:
+    """One-time deterministic document corpus for the dedup scaling
+    phase: word-soup texts with ~10% planted near-duplicates (same base
+    text, a few words mutated) so the LSH/winnow joins do real work."""
+    if not os.path.isdir(SCALE_DOCS_PATH):
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("text", T.StringType(), False),
+            ]
+        )
+        vocab = [f"w{i:03d}" for i in range(600)]
+
+        def gen(batches):
+            import numpy as np
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    base = i - (i % 10) if i % 10 < 2 else i  # 2/10 share a base
+                    rng = np.random.default_rng([7, base])
+                    words = list(rng.choice(vocab, size=int(rng.integers(60, 220))))
+                    if base != i:  # near-dup: mutate a few positions
+                        mrng = np.random.default_rng([11, i])
+                        for p in mrng.integers(0, len(words), 5):
+                            words[int(p)] = str(mrng.choice(vocab))
+                    rows.append((i, " ".join(words)))
+                yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+        spark.range(SCALE_DOCS).repartition(32).mapInPandas(gen, schema).write.mode(
+            "overwrite"
+        ).parquet(SCALE_DOCS_PATH)
+    return SCALE_DOCS_PATH
+
+
+def _scale_doc_count(spark, docs) -> int:
+    return SCALE_DOCS
+
+
 def _scaling_job(spark) -> dict:
     """The measured N-vs-4N job: transcript rollup pipeline + per-conv
     MPX over a fleet of post-rollup-sized series.
@@ -269,6 +318,25 @@ def _scaling_job(spark) -> dict:
     stats["rollup_wall"] = time.time() - t0
     stats["rollup_points_per_sec"] = (raw_rows + tier_rows) / stats["rollup_wall"]
 
+    # document-dedup phase (r03 verdict item 7: evidence the dedup plans'
+    # N→4N scaling, not just their design): minhash-LSH banded candidates
+    # + df-gated winnowing self-join over a deterministic doc corpus
+    if os.environ.get("SPARK_GRAFT_SCALE_DEDUP", "1") == "1":
+        from go_matrixprofile_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            winnow_dup_pairs,
+        )
+
+        docs = spark.read.parquet(_ensure_scale_docs(spark))
+        t0 = time.time()
+        pairs = minhash_lsh_pairs(docs, 8, 8, 2).count()
+        pairs += winnow_dup_pairs(
+            docs, k=8, window=4, min_shared=5, max_df=25
+        ).count()
+        stats["dedup_wall"] = time.time() - t0
+        stats["dedup_pairs"] = pairs
+        stats["dedup_docs_per_sec"] = _scale_doc_count(spark, docs) / stats["dedup_wall"]
+
     from go_matrixprofile_spark.operators.profile import (
         cpu_partitions,
         matrix_profile_assembled,
@@ -288,11 +356,13 @@ def _scaling_run(sf_dir: str, reps: int) -> dict:
     out = {}
     walls: dict[int, list[float]] = {2: [], 8: []}
     mp_walls: dict[int, list[float]] = {2: [], 8: []}
+    dd_walls: dict[int, list[float]] = {2: [], 8: []}
     tp: dict[int, dict] = {}
-    # generate corpus + series fleet once outside the timed region
+    # generate corpus + series fleet + doc corpus once outside the timed region
     boot = _session(32, "bench-scale-boot")
     _ensure_scale_corpus(boot)
     _ensure_scale_arrays(boot)
+    _ensure_scale_docs(boot)
     boot.stop()
     for rep in range(reps):
         for cores in (2, 8):
@@ -301,12 +371,17 @@ def _scaling_run(sf_dir: str, reps: int) -> dict:
             stats = _scaling_job(spark)
             walls[cores].append(time.time() - t0)
             mp_walls[cores].append(stats["mp_wall"])
+            if "dedup_wall" in stats:
+                dd_walls[cores].append(stats["dedup_wall"])
             tp[cores] = {
                 "rollup_points_per_sec": round(stats["rollup_points_per_sec"], 1),
                 "mp_windows_per_sec": round(stats["mp_windows_per_sec"], 1),
                 "rollup_wall": round(stats["rollup_wall"], 2),
                 "mp_wall": round(stats["mp_wall"], 2),
             }
+            if "dedup_wall" in stats:
+                tp[cores]["dedup_wall"] = round(stats["dedup_wall"], 2)
+                tp[cores]["dedup_docs_per_sec"] = round(stats["dedup_docs_per_sec"], 1)
             spark.stop()
     for cores in (2, 8):
         # min = least-contended sample: this sandbox VM shows sporadic
@@ -318,12 +393,21 @@ def _scaling_run(sf_dir: str, reps: int) -> dict:
             "mp_wall_min": round(min(mp_walls[cores]), 2),
             **tp[cores],
         }
+        if dd_walls[cores]:
+            out[f"local{cores}"]["dedup_wall_min"] = round(min(dd_walls[cores]), 2)
+            out[f"local{cores}"]["dedup_wall_all"] = [
+                round(x, 2) for x in dd_walls[cores]
+            ]
     tn = out["local2"]["wall_sec_min"]
     t4n = out["local8"]["wall_sec_min"]
     out["scaling_efficiency_total"] = round((tn / t4n) / 4.0, 3)
     out["scaling_efficiency_mp"] = round(
         (out["local2"]["mp_wall_min"] / out["local8"]["mp_wall_min"]) / 4.0, 3
     )
+    if dd_walls[2] and dd_walls[8]:
+        out["scaling_efficiency_dedup"] = round(
+            (min(dd_walls[2]) / min(dd_walls[8])) / 4.0, 3
+        )
     return out
 
 
@@ -350,7 +434,13 @@ def main() -> None:
     spark.stop()
 
     result = {
-        "metric": "engine_bench_total",
+        # renamed from engine_bench_total in r4 (advisor item): the value
+        # is the SUM OF PER-QUERY MINIMA across reps, not a measured
+        # end-to-end wall — wall_all_reps carries the raw wall. r1/r2
+        # records (metric engine_bench_total, bench_reps absent) were
+        # single-rep walls; r3 already reported the min-sum under the old
+        # name, so r3→r4 stays like-for-like.
+        "metric": "engine_bench_min_sum",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "wall_all_reps": round(total, 3),

@@ -33,6 +33,13 @@ def pmp_fused(
         c_w(i) = Q_w(i) - w·mu_w(i)·mu_w(i+d)    (centering identity)
         corr   = c_w(i) · inv_w(i) · inv_w(i+d)
 
+    The series is globally centered (a ← a − mean(a)) before the product
+    scan: Pearson of z-normalized windows is shift-invariant, and without
+    the shift the Q − w·mu·mu subtraction catastrophically cancels for
+    series with large mean/std ratio (17% relative error at mean≈1e6,
+    total corruption at 1e9 vs the faithful df/dg kernel). With the
+    shift the two kernels agree to ≤5e-9 at mean 1e6 (pinned by pytest).
+
     Two wins over per-window compute: the shared product+cumsum pass
     amortizes across the window batch, and (the bigger one at fleet
     scale) the operator ships each conversation's array ONCE per window
@@ -52,6 +59,10 @@ def pmp_fused(
     """
     opts = opts or MPOpts()
     a = np.ascontiguousarray(a, dtype=np.float64)
+    # global centering: shift-invariant for z-normed Pearson, and required
+    # to keep the Q - w*mu_i*mu_j subtraction numerically stable for
+    # offset-heavy series (see docstring)
+    a = a - a.mean()
     n = a.size
     ws = sorted({int(w) for w in windows})
     out: dict[int, tuple[np.ndarray, np.ndarray]] = {}

@@ -63,6 +63,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType(), False),
         T.StructField("sha", T.StringType(), False),
         T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        # per-row quarantine: non-null iff the real decoder failed on this
+        # payload (truncated/progressive/etc) and the stub signature was
+        # substituted — same corrupt-record posture as the JSONL source
+        T.StructField("decode_err", T.StringType(), True),
     ]
 )
 
@@ -150,6 +154,14 @@ def extract_features(
     "decoder" derives a deterministic dim-float signature from payload
     byte statistics — the Spark-side plumbing (schema, batching,
     partitioning, binary transport) is identical to a real decoder.
+
+    Per-row quarantine (r03 advisor finding): a payload the real decoder
+    rejects (truncated, progressive, subsampled …) must not kill the
+    whole mapInPandas stage at corpus scale. Decode failures fall back
+    to the stub signature and carry the exception in ``decode_err``;
+    clean rows have decode_err NULL. NotImplementedError for stubbed
+    kinds under decode_stub=False still raises — that's a configuration
+    signal, not data corruption.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -160,35 +172,42 @@ def extract_features(
             wav_features,
         )
 
+        def stub_sig(buf: bytes) -> np.ndarray:
+            arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
+            # deterministic fake embedding: per-chunk byte means
+            chunks = np.array_split(arr, dim)
+            feat = np.array(
+                [c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32
+            )
+            return (feat - feat.mean()) / (feat.std() + 1e-6)
+
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 buf = bytes(row.payload)
-                if row.kind == "wav":
-                    feat = np.asarray(wav_features(buf, dim), dtype=np.float32)
-                elif row.kind == "ppm":
-                    feat = np.asarray(ppm_features(buf, dim), dtype=np.float32)
-                elif row.kind == "image" and buf[:2] == b"\xff\xd8":
-                    feat = np.asarray(jpeg_features(buf, dim), dtype=np.float32)
-                elif (
-                    row.kind == "video"
-                    and buf[:4] == b"RIFF"
-                    and buf[8:12] == b"AVI "
-                ):
-                    feat = np.asarray(mjpeg_features(buf, dim), dtype=np.float32)
-                elif not decode_stub:
+                feat, err = None, None
+                try:
+                    if row.kind == "wav":
+                        feat = np.asarray(wav_features(buf, dim), dtype=np.float32)
+                    elif row.kind == "ppm":
+                        feat = np.asarray(ppm_features(buf, dim), dtype=np.float32)
+                    elif row.kind == "image" and buf[:2] == b"\xff\xd8":
+                        feat = np.asarray(jpeg_features(buf, dim), dtype=np.float32)
+                    elif (
+                        row.kind == "video"
+                        and buf[:4] == b"RIFF"
+                        and buf[8:12] == b"AVI "
+                    ):
+                        feat = np.asarray(mjpeg_features(buf, dim), dtype=np.float32)
+                except Exception as e:  # noqa: BLE001 — quarantine, don't kill the stage
+                    err = f"{type(e).__name__}: {e}"
+                if feat is None and err is None and not decode_stub:
                     raise NotImplementedError(
                         "mp3 (and non-AVI video) decode requires ffmpeg, "
                         "absent in this image"
                     )
-                else:
-                    arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
-                    # deterministic fake embedding: per-chunk byte means
-                    chunks = np.array_split(arr, dim)
-                    feat = np.array(
-                        [c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32
-                    )
-                    feat = (feat - feat.mean()) / (feat.std() + 1e-6)
+                if feat is None:  # stubbed kind, or quarantined decode failure
+                    feat = stub_sig(buf)
                 out.append(
                     (
                         row.doc_id,
@@ -196,10 +215,12 @@ def extract_features(
                         len(buf),
                         hashlib.sha1(buf).hexdigest(),
                         feat.tolist(),
+                        err,
                     )
                 )
             yield pd.DataFrame(
-                out, columns=["doc_id", "kind", "n_bytes", "sha", "feature"]
+                out,
+                columns=["doc_id", "kind", "n_bytes", "sha", "feature", "decode_err"],
             )
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)

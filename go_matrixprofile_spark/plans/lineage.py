@@ -28,6 +28,23 @@ def _lineage_path(root: str) -> str:
     return os.path.join(root, "_lineage")
 
 
+def _dir_has_data_files(spark: SparkSession, path: str) -> bool:
+    """True iff path exists and contains at least one non-hidden entry
+    (recursing one level into partition dirs). Hadoop FS API, so it works
+    on any Hadoop-compatible filesystem, not just local paths."""
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    p = Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return False
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def read_lineage(spark: SparkSession, root: str) -> DataFrame | None:
     path = _lineage_path(root)
     try:
@@ -73,12 +90,11 @@ def checkpoint_stage(
     # a legitimately EMPTY stage (e.g. a dedup table with no duplicate
     # groups) writes only _SUCCESS — Spark cannot infer a schema from a
     # data-file-less directory, so return the typed empty frame instead
-    # of failing the pipeline; no lineage rows to record either
-    has_data = os.path.exists(out_path) and any(
-        not name.startswith(("_", "."))
-        for name in os.listdir(out_path)
-    )
-    if not has_data:
+    # of failing the pipeline; no lineage rows to record either.
+    # Emptiness is probed via the Hadoop FS API (r03 advisor finding:
+    # os.path only sees the LOCAL filesystem, so an HDFS/S3 root would
+    # always look empty here and silently drop the stage).
+    if not _dir_has_data_files(spark, out_path):
         return spark.createDataFrame([], schema=df.schema)
 
     counts = (

@@ -86,6 +86,10 @@ def stream_rollup_1m(
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # writer half of the compact_tier exclusion contract: refuse to
+        # append while a compaction holds the intent marker — appends
+        # racing the compactor's dir swap would be silently dropped
+        _check_not_compacting(batch_df.sparkSession, output_dir)
         # MERGE semantics on plain parquet: each micro-batch appends its
         # (conv, metric, bucket) rows stamped with batch_id; a late turn
         # re-emits its window in a later batch, and ``read_tier`` keeps only
@@ -183,6 +187,28 @@ def read_tier(spark: SparkSession, tier_dir: str) -> DataFrame:
     )
 
 
+def _compact_marker(tier_dir: str) -> str:
+    return tier_dir.rstrip("/") + ".compacting"
+
+
+def _check_not_compacting(spark: SparkSession, tier_dir: str) -> None:
+    """Raise if a compaction currently holds the tier's intent marker.
+
+    The compact_tier ↔ writer exclusion used to be a prose contract
+    ("never concurrently with the writer"); the marker makes misuse fail
+    loudly instead of corrupting the tier (r03 verdict nit #3)."""
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    marker = Path(_compact_marker(tier_dir))
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        raise RuntimeError(
+            f"tier {tier_dir} is being compacted ({_compact_marker(tier_dir)} "
+            "exists); writers must wait or the compaction crashed — remove "
+            "the marker after verifying no compactor is running"
+        )
+
+
 def compact_tier(spark: SparkSession, tier_dir: str) -> None:
     """Fold upsert history: rewrite the tier with only the live rows.
 
@@ -198,25 +224,40 @@ def compact_tier(spark: SparkSession, tier_dir: str) -> None:
     (shutil, the previous implementation, silently required local FS).
     In production this whole function is Iceberg's atomic
     rewrite_data_files commit.
+
+    Writer exclusion is ENFORCED, not prose: an intent marker
+    (``<tier>.compacting``) is acquired first — atomically, via
+    createNewFile — held through the swap, and released last. The
+    streaming upsert refuses to append while the marker exists, and a
+    second concurrent compactor fails to acquire it.
     """
-    live = read_tier(spark, tier_dir).withColumn(
-        "batch_id", F.lit(-1).cast("long")
-    )
     base = tier_dir.rstrip("/")
     tmp, old = base + ".compact", base + ".old"
-    live.write.mode("overwrite").parquet(tmp)  # distributed, never collected
 
     jvm = spark._jvm
     jsc = spark._jsc
     conf = jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(base).getFileSystem(conf)
-    if fs.exists(Path(old)):  # leftover from a previous crash mid-swap
+    marker = Path(_compact_marker(tier_dir))
+    # atomic acquire: createNewFile returns False if it already exists
+    if not fs.createNewFile(marker):
+        raise RuntimeError(
+            f"compact_tier: another compaction holds {_compact_marker(tier_dir)}"
+        )
+    try:
+        live = read_tier(spark, tier_dir).withColumn(
+            "batch_id", F.lit(-1).cast("long")
+        )
+        live.write.mode("overwrite").parquet(tmp)  # distributed, never collected
+        if fs.exists(Path(old)):  # leftover from a previous crash mid-swap
+            fs.delete(Path(old), True)
+        if not fs.rename(Path(base), Path(old)):
+            raise IOError(f"compact_tier: could not move {base} aside")
+        if not fs.rename(Path(tmp), Path(base)):
+            # roll back so the tier is still readable
+            fs.rename(Path(old), Path(base))
+            raise IOError(f"compact_tier: could not move {tmp} into place")
         fs.delete(Path(old), True)
-    if not fs.rename(Path(base), Path(old)):
-        raise IOError(f"compact_tier: could not move {base} aside")
-    if not fs.rename(Path(tmp), Path(base)):
-        # roll back so the tier is still readable
-        fs.rename(Path(old), Path(base))
-        raise IOError(f"compact_tier: could not move {tmp} into place")
-    fs.delete(Path(old), True)
+    finally:
+        fs.delete(marker, False)

@@ -63,8 +63,8 @@ def stream_matrix_profile(
 
         if vals.size >= max_points:
             # frozen: drop the batch but emit a visible marker row —
-            # offset -1, idx = dropped-point count, seq NOT bumped so the
-            # latest-wins read view keeps the last real profile alongside
+            # offset -1, idx = dropped-point count, seq NOT bumped; read
+            # via frozen_markers (latest_profiles filters offset >= 0)
             yield pd.DataFrame(
                 {
                     "conv_id": [conv_id],
@@ -118,12 +118,29 @@ def stream_matrix_profile(
 
 
 def latest_profiles(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Latest emitted profile per conversation (max seq wins)."""
+    """Latest emitted REAL profile per conversation (max seq wins).
+
+    Frozen-conversation marker rows (offset = -1, mp = NaN) reuse the
+    last real seq, so without the offset filter they'd interleave with
+    the profile — and repeated frozen batches stack several markers at
+    that seq (r03 advisor finding). Markers are exposed separately via
+    ``frozen_markers``.
+    """
     from pyspark.sql import Window, functions as F
 
-    raw = spark.read.parquet(out_dir)
+    raw = spark.read.parquet(out_dir).where(F.col("offset") >= 0)
     return (
         raw.withColumn("_mx", F.max("seq").over(Window.partitionBy("conv_id")))
         .where("seq = _mx")
         .drop("_mx")
     )
+
+
+def frozen_markers(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Frozen-conversation markers: one row per batch that hit a frozen
+    conversation, with ``idx`` = points dropped in that batch. Route
+    these conv_ids to the batch tiled path
+    (operators/profile.matrix_profile_chunked)."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(out_dir).where(F.col("offset") < 0)

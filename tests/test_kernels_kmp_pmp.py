@@ -143,6 +143,43 @@ class TestPMPFused:
         np.testing.assert_array_equal(fm, mp.mp)
         np.testing.assert_array_equal(fi, mp.idx)
 
+    def test_large_mean_offset(self):
+        # ADVICE r3 (high): without global centering the Q - w*mu_i*mu_j
+        # subtraction catastrophically cancels at mean/std >> 1 (17% rel
+        # error at mean 1e6, total corruption at 1e9). Centering restores
+        # <=5e-9 agreement with the faithful df/dg kernel.
+        from go_matrixprofile_spark.kernels import siggen
+        from go_matrixprofile_spark.kernels.pmp import pmp_fused
+
+        n = 300
+        base = siggen.add(
+            siggen.sin(1.0, 4, 0, 0, 60, n / 60)[:n], siggen.noise(0.3, n, 11)
+        )
+        # at mean 1e6 the faithful kernel is still accurate: fused must
+        # agree with it to ~1e-6 (pre-fix error was 17% relative) with
+        # idx exact
+        fused = pmp_fused(base + 1e6, [8, 16, 24])
+        for w in (8, 16, 24):
+            mp = MatrixProfile(base + 1e6, None, w).compute(
+                MPOpts(algorithm="mpx")
+            )
+            fm, fi = fused[w]
+            np.testing.assert_allclose(fm, mp.mp, atol=1e-6, err_msg=f"w={w}")
+            np.testing.assert_array_equal(fi, mp.idx, err_msg=f"w={w}")
+        # at mean 1e9 the faithful kernel ITSELF cancels (~6e-5 err), so
+        # ground truth is the faithful kernel on the pre-centered series
+        # (z-normed Pearson is shift-invariant); the only remaining error
+        # is the ~2.4e-7 ulp of representing base+1e9 in float64
+        fused = pmp_fused(base + 1e9, [8, 16, 24])
+        for w in (8, 16, 24):
+            truth = MatrixProfile(base, None, w).compute(
+                MPOpts(algorithm="mpx")
+            )
+            fm, _ = fused[w]
+            np.testing.assert_allclose(
+                fm, truth.mp, atol=1e-4, err_msg=f"w={w}"
+            )
+
     def test_remap_and_pearson_space(self):
         from go_matrixprofile_spark.kernels import siggen
         from go_matrixprofile_spark.kernels.pmp import pmp_fused

@@ -33,6 +33,35 @@ class TestMultimodal:
         with pytest.raises(Exception):
             extract_features(media, decode_stub=False).count()
 
+    def test_corrupt_payload_quarantined_not_fatal(self, spark):
+        """A truncated JPEG (FFD8 magic, garbage body) must not kill the
+        stage: the row survives with decode_err set and the stub
+        signature, clean rows keep decode_err NULL (r03 advisor item)."""
+        import pandas as pd
+
+        from go_matrixprofile_spark.functions.media import encode_jpeg_baseline
+        from go_matrixprofile_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+        )
+
+        good_px = np.full((16, 16, 3), 128, dtype=np.uint8)
+        good = encode_jpeg_baseline(good_px, quality=85)
+        bad = b"\xff\xd8\xff\xe0" + b"\x00" * 40  # truncated after APP0 magic
+        meta = {"width": 16, "height": 16, "sample_rate": None, "n_frames": None}
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                [(0, "image", good, meta), (1, "image", bad, meta)],
+                columns=["doc_id", "kind", "payload", "meta"],
+            ),
+            schema=MEDIA_SCHEMA,
+        )
+        feats = extract_features(media, dim=8).orderBy("doc_id").toPandas()
+        assert len(feats) == 2  # stage survived the corrupt row
+        assert feats["decode_err"].iloc[0] is None
+        assert feats["decode_err"].iloc[1]  # quarantined with the reason
+        assert len(feats["feature"].iloc[1]) == 8  # stub signature emitted
+
     def test_wav_real_decode_through_spark(self, spark):
         """WAV PCM16 payloads decode for REAL: a pure sine's RMS is
         amp/sqrt(2) and its spectral centroid sits at the tone."""

@@ -154,6 +154,53 @@ class TestStructuredStreaming:
         check()
 
 
+class TestCompactExclusion:
+    def test_concurrent_compaction_fails_loudly(self, spark, tmp_path):
+        """The compact_tier ↔ writer exclusion is enforced by a
+        .compacting intent marker, not prose: a writer batch refuses to
+        append while the marker exists, and a second compactor cannot
+        acquire it (r03 verdict nit #3)."""
+        from go_matrixprofile_spark.streaming.ingest import (
+            _compact_marker,
+            compact_tier,
+            stream_rollup_1m,
+        )
+
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        corpus = datagen.generate_transcripts(spark, 2, mega_every=0, plant_fixtures=False)
+        corpus.write.mode("overwrite").parquet(in_dir)
+
+        # simulate an in-flight compaction by holding the marker
+        import pathlib
+
+        marker = pathlib.Path(_compact_marker(out_dir))
+        marker.touch()
+
+        # 1) the streaming writer's micro-batch must fail loudly
+        q = stream_rollup_1m(spark, in_dir, ckpt, out_dir).trigger(
+            availableNow=True
+        ).start()
+        with pytest.raises(Exception) as exc:
+            q.awaitTermination(120)
+        assert "compact" in str(exc.value).lower()
+
+        # 2) a second compactor cannot acquire the held marker
+        with pytest.raises(RuntimeError, match="compaction holds"):
+            compact_tier(spark, out_dir)
+
+        # 3) release the marker: the writer then succeeds and a
+        # compaction cycle releases its own marker afterwards
+        marker.unlink()
+        q = stream_rollup_1m(spark, in_dir, str(tmp_path / "ckpt2"), out_dir).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+        compact_tier(spark, out_dir)
+        assert not marker.exists()
+
+
 class TestStatefulStreamingMP:
     def test_stateful_update_equals_recompute(self, spark, tmp_path):
         """The reference's Update API as applyInPandasWithState: per-conv
@@ -209,11 +256,13 @@ class TestStatefulStreamingMP:
     def test_frozen_conv_emits_marker(self, spark, tmp_path):
         """A conversation past max_points must not stall silently: each
         batch that delivers points to a frozen conversation yields one
-        marker row (offset -1, idx = dropped count, seq of the last real
-        profile) so it stays visible in the latest-wins read view."""
+        marker row (offset -1, idx = dropped count). Markers surface via
+        frozen_markers; latest_profiles stays marker-free so readers
+        never see NaN profile rows (r03 advisor finding)."""
         import pandas as pd
 
         from go_matrixprofile_spark.streaming.stateful import (
+            frozen_markers,
             latest_profiles,
             stream_matrix_profile,
         )
@@ -240,14 +289,16 @@ class TestStatefulStreamingMP:
         q = sink.format("parquet").option("path", out_dir).trigger(availableNow=True).start()
         q.awaitTermination(120)
 
-        latest = latest_profiles(spark, out_dir).toPandas()
-        marker = latest[latest["offset"] == -1]
+        marker = frozen_markers(spark, out_dir).toPandas()
         assert len(marker) == 1
         assert int(marker["idx"].iloc[0]) == 20  # dropped points, visible
         assert marker["mp"].isna().all()
-        # the last REAL profile (seq 1, 30 points) is still in the view
-        real = latest[latest["offset"] >= 0]
-        assert len(real) == 30 - w + 1
+        # latest_profiles: ONLY the last real profile (seq 1, 30 points),
+        # no NaN marker rows interleaved
+        latest = latest_profiles(spark, out_dir).toPandas()
+        assert (latest["offset"] >= 0).all()
+        assert not latest["mp"].isna().any()
+        assert len(latest) == 30 - w + 1
         assert set(latest["seq"]) == {1}
 
 
