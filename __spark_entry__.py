@@ -213,6 +213,16 @@ def q_knn_pq_adc(spark, sf_dir):
     return SS.knn_pq_adc(_embeddings(spark, sf_dir), n_queries=8, k=5)
 
 
+def q_knn_pq_adc_refined(spark, sf_dir):
+    """ORACLE-CHECKED refined-PQ ANN: one Lloyd iteration on top of the
+    seed codebooks (assign → per-position centroid means → reassign),
+    centroid means quantized to 6 decimals so the refined assignment is
+    bit-reproducible across engines; ADC top-k over the refined codes."""
+    return SS.knn_pq_adc(
+        _embeddings(spark, sf_dir), n_queries=8, k=5, refine=1, centroid_round=6
+    )
+
+
 def q_winnow_dup_pairs(spark, sf_dir):
     """ORACLE-CHECKED substring-level near-dup pairs: docs sharing >= 5
     rare winnowing fingerprints (SWA guarantee — every common substring
@@ -220,6 +230,16 @@ def q_winnow_dup_pairs(spark, sf_dir):
     return DD.winnow_dup_pairs(
         _documents(spark, sf_dir), k=8, window=4, min_shared=5, max_df=25
     )
+
+
+def q_dedup_groups(spark, sf_dir):
+    """ORACLE-CHECKED near-dup group resolution: distributed connected
+    components (min-label propagation + pointer jumping, all
+    groupBy/join rounds) over the union of minhash-LSH, simhash and
+    winnowing pair sources — every doc gets (component_id = min member,
+    keep = is-survivor). The stage that lets a pipeline actually DROP
+    fuzzy duplicates instead of stopping at pairs."""
+    return DD.dedup_groups(_documents(spark, sf_dir))
 
 
 def q_quality_repetition(spark, sf_dir):
@@ -869,11 +889,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_dup_pairs": q_winnow_dup_pairs,
+        "dedup_groups": q_dedup_groups,
         "quality_repetition": q_quality_repetition,
         "knn_brute_cosine": q_knn_brute_cosine,
         "knn_lsh_cosine": q_knn_lsh_cosine,
         "knn_ivf_cosine": q_knn_ivf_cosine,
         "knn_pq_adc": q_knn_pq_adc,
+        "knn_pq_adc_refined": q_knn_pq_adc_refined,
         "lsh_signatures": q_lsh_signatures,
         "cosine_near_dup": q_cosine_near_dup,
         "update_equivalence": q_update_equivalence,
@@ -900,14 +922,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle twins mp_segments_oracle / mp_motifs_oracle are
         # value-checked above and mp_discords exercises the same
         # full-scale profile + discovery path)
+        # (mp_discords dropped for the 50-row gate when dedup_groups
+        # joined the value-checked block: discords are doubly
+        # value-checked by mp_discords_oracle AND mp_av_discords_oracle,
+        # and mp_event_rate keeps the full-scale profile path)
         "mp_event_rate": q_mp_event_rate,
-        "mp_discords": q_mp_discords,
         "kmp_event_types": q_kmp_event_types,
         "pmp_event_rate": q_pmp_event_rate,
         # (mp_ab_join dropped for the 50-row gate when knn_pq_adc joined
         # the value-checked block: the AB path is doubly value-checked by
-        # mp_ab_oracle AND mp_ab_chunked_oracle)
-        "mpdist_pairs": q_mpdist_pairs,
+        # mp_ab_oracle AND mp_ab_chunked_oracle; mpdist_pairs dropped
+        # when knn_pq_adc_refined joined — MPDist is value-checked by
+        # mpdist_oracle)
         "mp_transcript_corpus": q_mp_transcript_corpus,
     }
 
@@ -1004,6 +1030,116 @@ shingles AS (
         FROM docs)
   WHERE length(substr(text, CAST(i AS INT), 8)) > 0
 )
+"""
+
+# dedup_groups oracle: the three text pair sources (same parameters as
+# their individually-green oracles, CTEs prefix-renamed to coexist),
+# unioned, then transitive closure via a recursive CTE — component =
+# MIN reachable node; docs in no pair are their own singleton.
+_DEDUP_GROUPS_SQL = r"""
+WITH RECURSIVE
+docs AS (SELECT doc_id, text FROM documents),
+mh_shingles AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        FROM docs)
+  WHERE length(substr(text, CAST(i AS INT), 8)) > 0
+),
+mh_h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv FROM mh_shingles),
+mh AS (
+  SELECT doc_id, CAST(hi.i AS INT) AS h_idx,
+         MIN(((2*hi.i + 1) * hv + (7*hi.i + 3)) % 2147483647) AS minhash
+  FROM mh_h, generate_series(0, 7) hi(i)
+  GROUP BY 1, 2
+),
+mh_bands AS (
+  SELECT doc_id, CAST(h_idx // 2 AS INT) AS band,
+         string_agg(h_idx || ':' || minhash, '_' ORDER BY h_idx || ':' || minhash) AS band_sig
+  FROM mh GROUP BY 1, 2
+),
+mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM mh_bands a JOIN mh_bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sh_toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+sh_h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM sh_toks),
+sh_bits AS (
+  SELECT doc_id, CAST(b.i AS INT) AS bit, SUM(((hv >> CAST(b.i AS INT)) & 1) * 2 - 1) AS s
+  FROM sh_h, generate_series(0, 31) b(i)
+  GROUP BY 1, 2
+),
+sh_sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM sh_bits GROUP BY 1
+),
+sh_bands AS (
+  SELECT doc_id, sig, CAST(b.i AS INT) AS band,
+         (sig >> (CAST(b.i AS INT) * 8)) & 255 AS band_bits
+  FROM sh_sigs, generate_series(0, 3) b(i)
+),
+sh_pairs AS (
+  SELECT a_id, b_id FROM (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sa, b.sig AS sb
+    FROM sh_bands a JOIN sh_bands b
+      ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+  ) WHERE bit_count(xor(sa, sb)) <= 3
+),
+wn_grams AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, substr(text, CAST(i AS INT), 8) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        FROM documents)
+  WHERE length(substr(text, CAST(i AS INT), 8)) > 0
+),
+wn_hashed AS (
+  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hv FROM wn_grams
+),
+wn_wins AS (
+  SELECT doc_id, pos,
+         MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM wn_hashed
+),
+wn_fps AS (SELECT DISTINCT doc_id, fp FROM wn_wins WHERE pos <= n - 4),
+wn_rare AS (
+  SELECT f.doc_id, f.fp FROM wn_fps f
+  JOIN (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM wn_fps GROUP BY fp)
+        WHERE df <= 25) r USING (fp)
+),
+wn_pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM wn_rare a JOIN wn_rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+all_pairs AS (
+  SELECT a_id, b_id FROM mh_pairs
+  UNION SELECT a_id, b_id FROM sh_pairs
+  UNION SELECT a_id, b_id FROM wn_pairs
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM all_pairs
+  UNION SELECT b_id, a_id FROM all_pairs
+),
+reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, rc.r FROM edges e JOIN reach rc ON rc.u = e.v
+),
+comp AS (SELECT u AS doc_id, MIN(r) AS component_id FROM reach GROUP BY u)
+SELECT d.doc_id,
+       CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS component_id,
+       COALESCE(c.component_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 
@@ -1267,6 +1403,7 @@ FROM documents
 WITH {_WINNOW_FPS}
 SELECT doc_id, fp FROM fps
 """,
+        "dedup_groups": _DEDUP_GROUPS_SQL,
         "winnow_dup_pairs": f"""
 WITH {_WINNOW_FPS},
 dfs AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp),
@@ -1766,6 +1903,64 @@ codes AS (
     PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) = 1
 ),
 lut AS (SELECT vec_id AS qid, sub, code, d2 AS pd FROM sub_d2 WHERE vec_id < 8),
+approx AS (
+  SELECT l.qid, co.vec_id AS nid, ROUND(SUM(l.pd), 4) AS dist
+  FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code
+  WHERE l.qid <> co.vec_id
+  GROUP BY 1, 2
+)
+SELECT qid, CAST(rank AS INT) AS rank, nid, dist FROM (
+  SELECT qid, nid, dist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rank
+  FROM approx) WHERE rank <= 5
+""",
+        "knn_pq_adc_refined": f"""
+WITH {_DIMS},
+seed_d2 AS (
+  SELECT v.vec_id, CAST((v.i - 1) // 16 AS INT) AS sub, c.vec_id AS code,
+         ROUND(SUM((v.x - c.x) * (v.x - c.x)), 6) AS d2
+  FROM dims v JOIN dims c ON c.i = v.i AND c.vec_id < 16
+  GROUP BY 1, 2, 3
+),
+seed_codes AS (
+  SELECT vec_id, sub, code FROM seed_d2
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) = 1
+),
+-- one Lloyd step: per-(sub, code, position) mean of assigned subvector
+-- elements, ROUND 6 (matches the engine's centroid_round=6 so the
+-- refined assignment is summation-order-independent); empty clusters
+-- keep the seed slice
+assigned_elems AS (
+  SELECT sc.sub, sc.code, d.i AS i, d.x
+  FROM seed_codes sc
+  JOIN dims d ON d.vec_id = sc.vec_id AND CAST((d.i - 1) // 16 AS INT) = sc.sub
+),
+ref_means AS (
+  SELECT sub, code, i, ROUND(AVG(x), 6) AS cx
+  FROM assigned_elems GROUP BY 1, 2, 3
+),
+seed_cb AS (
+  SELECT CAST((i - 1) // 16 AS INT) AS sub, vec_id AS code, i, x
+  FROM dims WHERE vec_id < 16
+),
+ref_cb AS (
+  SELECT s.sub, s.code, s.i, COALESCE(m.cx, s.x) AS x
+  FROM seed_cb s LEFT JOIN ref_means m
+    ON m.sub = s.sub AND m.code = s.code AND m.i = s.i
+),
+ref_d2 AS (
+  SELECT v.vec_id, c.sub, c.code,
+         ROUND(SUM((v.x - c.x) * (v.x - c.x)), 6) AS d2
+  FROM dims v JOIN ref_cb c ON c.i = v.i
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, sub, code FROM ref_d2
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) = 1
+),
+lut AS (SELECT vec_id AS qid, sub, code, d2 AS pd FROM ref_d2 WHERE vec_id < 8),
 approx AS (
   SELECT l.qid, co.vec_id AS nid, ROUND(SUM(l.pd), 4) AS dist
   FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code

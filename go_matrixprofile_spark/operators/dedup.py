@@ -309,6 +309,153 @@ def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
     return sums.select("doc_id", sig.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over an undirected pair list:
+    (node, component) with component = the MIN node id of the component.
+
+    Iterated min-label propagation with pointer jumping — all
+    groupBy/join rounds, no driver-side data:
+
+      1. propagate:    lbl[n] ← min(lbl[n], min over neighbors' lbl)
+      2. pointer-jump: lbl[n] ← lbl[lbl[n]]   (path doubling)
+
+    Pointer jumping makes convergence O(log diameter) rounds instead of
+    O(diameter) — a chain component of length L resolves in ~log2(L)
+    rounds. Each round materializes via localCheckpoint (truncating the
+    plan tree: iterative lineage otherwise re-executes every prior
+    round per action and the plan grows unboundedly); the per-round
+    convergence check is a scalar count, never a collect of data.
+
+    Fixpoint argument: when no label changes, min(lbl[n], neighbor
+    lbls) == lbl[n] for every n simultaneously, so lbl is constant
+    along every edge ⇒ constant per component; the component's min id
+    keeps its own label throughout (labels only decrease, never below
+    the component min), so the constant is the min id.
+
+    At 100-TB scale the labels table is one row per node in the pair
+    graph (≪ corpus: only docs with near-dup candidates) and every
+    round is two shuffles on node id — the same key end to end, so AQE
+    reuses the partitioning.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        prop = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    "lbl", F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+                F.col("lbl").alias("old_lbl"),
+            )
+        )
+        # pointer jump: lbl[n] <- lbl[lbl[n]] (lbl values are node ids of
+        # the same component, so the lookup always hits)
+        jump = labels.select(
+            F.col("node").alias("j_node"), F.col("lbl").alias("j_lbl")
+        )
+        new_labels = (
+            prop.join(jump, prop.lbl == jump.j_node, "left")
+            .select(
+                "node",
+                F.least("lbl", F.coalesce("j_lbl", F.col("lbl"))).alias("lbl"),
+                "old_lbl",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where(F.col("lbl") != F.col("old_lbl")).limit(1).count()
+        labels = new_labels.drop("old_lbl")
+        if changed == 0:
+            return labels.select("node", F.col("lbl").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(pointer-jumped min propagation needs ~log2(diameter); raise max_iter)"
+    )
+
+
+def dedup_groups(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into dedup groups with one survivor each:
+    (doc_id, component_id, keep) for EVERY document.
+
+    The final stage of a production fuzzy dedup: the pair operators
+    (minhash_lsh_pairs, simhash_near_dup_pairs, winnow_dup_pairs,
+    simsearch.cosine_near_dup_pairs) emit candidate edges; this resolves
+    the union of those edges into connected components and picks the
+    min-doc_id member as the canonical survivor (keep = True). Docs in
+    no pair are their own singleton component (keep = True); the
+    training corpus is `WHERE keep`.
+
+    pairs: pre-computed edge DataFrame with (a_id, b_id) columns — pass
+    the union of whichever sources apply. Defaults to
+    minhash ∪ simhash ∪ winnow over `documents` (embedding cosine pairs
+    are unioned in when `embeddings` is given).
+    """
+    from .simsearch import cosine_near_dup_pairs
+
+    if pairs is None:
+        pairs = (
+            minhash_lsh_pairs(documents, 8, 8, 2)
+            .select("a_id", "b_id")
+            .unionByName(
+                simhash_near_dup_pairs(
+                    documents, n_bits=32, n_bands=4, max_hamming=3
+                ).select("a_id", "b_id")
+            )
+            .unionByName(
+                winnow_dup_pairs(
+                    documents, k=8, window=4, min_shared=5, max_df=25
+                ).select("a_id", "b_id")
+            )
+        )
+        if embeddings is not None:
+            pairs = pairs.unionByName(
+                cosine_near_dup_pairs(
+                    embeddings, threshold=0.3, n_tables=4, band_size=4
+                ).select(
+                    F.col("a_id").cast("long").alias("a_id"),
+                    F.col("b_id").cast("long").alias("b_id"),
+                )
+            )
+    comp = connected_components(
+        pairs.select("a_id", "b_id"), max_iter=max_iter
+    )
+    return (
+        documents.select("doc_id")
+        .join(comp, documents.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("component_id"))
+    )
+
+
 def winnow_dup_pairs(
     documents: DataFrame,
     k: int = 8,

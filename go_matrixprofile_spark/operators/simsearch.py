@@ -358,6 +358,7 @@ def pq_codes(
     k_codes: int = 16,
     dim: int = 64,
     refine: int = 0,
+    centroid_round: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Product-quantization codebooks + codes (deterministic).
 
@@ -402,14 +403,26 @@ def pq_codes(
     sv = embeddings.select("vec_id", subs).select(
         "vec_id", "e.sub", F.col("e.v").alias("xe")
     )
+    if refine > 0:
+        # materialize the subvector explode ONCE: each Lloyd iteration
+        # re-reads sv (assignment) and chains joins on the previous cb —
+        # without the checkpoint the unmaterialized lineage re-executes
+        # the explode every iteration and the plan tree grows per round
+        # (r03 verdict nit #1)
+        sv = sv.localCheckpoint(eager=True)
     for _ in range(refine):
         assigned = sv.join(_pq_assign(sv, cb), ["vec_id", "sub"])
         elems = assigned.select(
             "sub", "code", F.posexplode("xe").alias("pos", "v")
         )
-        means = elems.groupBy("sub", "code", "pos").agg(
-            F.avg(F.col("v").cast("double")).alias("mv")
-        )
+        mean_v = F.avg(F.col("v").cast("double"))
+        if centroid_round is not None:
+            # quantized centroid means: makes the refined assignment
+            # reproducible bit-for-bit across engines (summation order
+            # differs between Spark partial aggs and a serial engine);
+            # used by the cross-engine oracle query
+            mean_v = F.round(mean_v, centroid_round)
+        means = elems.groupBy("sub", "code", "pos").agg(mean_v.alias("mv"))
         new_ce = means.groupBy("sub", "code").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "mv"))),
@@ -419,6 +432,7 @@ def pq_codes(
         cb = (
             cb.join(new_ce, ["sub", "code"], "left")
             .select("sub", "code", F.coalesce("nce", "ce").alias("ce"))
+            .localCheckpoint(eager=True)  # truncate per-iteration lineage
         )
     codes = _pq_assign(sv, cb)
     return cb, codes
@@ -431,6 +445,8 @@ def knn_pq_adc(
     m_sub: int = 4,
     k_codes: int = 16,
     dim: int = 64,
+    refine: int = 0,
+    centroid_round: int | None = None,
 ) -> DataFrame:
     """PQ ANN via asymmetric distance computation: approximate
     ||q - x||^2 = sum over subvectors of ||q_s - codebook[code_s(x)]||^2.
@@ -447,7 +463,7 @@ def knn_pq_adc(
     sub_len = dim // m_sub
     from pyspark.sql.window import Window
 
-    cb, codes = pq_codes(embeddings, m_sub, k_codes, dim)
+    cb, codes = pq_codes(embeddings, m_sub, k_codes, dim, refine, centroid_round)
     q_subs = (
         embeddings.where(F.col("vec_id") < n_queries)
         .select(

@@ -275,6 +275,106 @@ class TestNewOpProperties:
             assert a // 2 == b // 2, f"spurious cross-group pair ({a},{b})"
 
 
+class TestConnectedComponents:
+    def test_chain_converges_to_one_component(self, spark):
+        """A chain a-b-c-d with only adjacent pairs must resolve to ONE
+        component labeled by the min member — the case plain one-hop
+        propagation gets wrong without enough rounds (r03 verdict item 1
+        done-criterion). 64-long chain ⇒ needs pointer jumping to
+        converge within the round budget."""
+        from go_matrixprofile_spark.operators.dedup import connected_components
+
+        n = 64
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"a_id": range(n - 1), "b_id": range(1, n)})
+        )
+        got = connected_components(pairs, max_iter=10).toPandas()
+        assert len(got) == n
+        assert (got["component"] == 0).all()
+
+    def test_matches_union_find_on_random_graph(self, spark):
+        """Components over a random sparse pair set equal a pure-Python
+        union-find ground truth."""
+        import numpy as np
+
+        from go_matrixprofile_spark.operators.dedup import connected_components
+
+        rng = np.random.default_rng(13)
+        n, m = 200, 120
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        mask = a != b
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"a_id": a[mask], "b_id": b[mask]})
+        )
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in zip(a[mask], b[mask]):
+            parent[find(int(u))] = find(int(v))
+        # canonical min-member label per root
+        members: dict[int, list[int]] = {}
+        for x in range(n):
+            members.setdefault(find(x), []).append(x)
+        want = {}
+        for mem in members.values():
+            lo = min(mem)
+            for x in mem:
+                want[x] = lo
+
+        got = connected_components(pairs).toPandas()
+        touched = set(a[mask]) | set(b[mask])
+        assert set(got["node"]) == touched
+        for r in got.itertuples():
+            assert r.component == want[r.node], r
+
+    def test_dedup_groups_end_to_end(self, spark):
+        """dedup_groups over planted duplicate docs: exact copies and
+        near-copies collapse into one component with the min doc_id as
+        the sole survivor; unrelated docs survive as singletons."""
+        from go_matrixprofile_spark.operators.dedup import dedup_groups
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight"
+        )
+        other = (
+            "completely different content about spark execution plans "
+            "and shuffle partitioning strategies at scale"
+        )
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2, 10, 11],
+                    "text": [
+                        base,
+                        base,  # exact dup of 0
+                        base.replace("tonight", "today"),  # near dup
+                        other,
+                        other.replace("scale", "SCALE"),  # near dup of 10
+                    ],
+                }
+            )
+        )
+        got = (
+            dedup_groups(docs)
+            .orderBy("doc_id")
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert got.loc[0, "component_id"] == 0 and got.loc[0, "keep"]
+        assert got.loc[1, "component_id"] == 0 and not got.loc[1, "keep"]
+        assert got.loc[2, "component_id"] == 0 and not got.loc[2, "keep"]
+        assert got.loc[10, "component_id"] == 10 and got.loc[10, "keep"]
+        assert got.loc[11, "component_id"] == 10 and not got.loc[11, "keep"]
+
+
 class TestPQADC:
     def test_codes_identity_and_cluster_recall(self, spark):
         """PQ: codebook vectors code to themselves (d2=0 identity); for
@@ -368,3 +468,42 @@ class TestPQRefine:
         e0, e1, e2 = total_err(0), total_err(1), total_err(2)
         assert e1 < e0 * 0.5, (e0, e1)  # bad seeds -> big first-step win
         assert e2 <= e1 + 1e-6, (e1, e2)  # monotone non-increasing
+
+    def test_deep_refine_wall_and_plan_bounded(self, spark):
+        """refine=4 must cost ~linearly more than refine=1, not
+        exponentially: sv is checkpointed once and each refined codebook
+        per iteration, so iteration lineage never re-executes prior
+        rounds (r03 verdict nit #1). Also pins that the refined
+        codebook's plan tree stays flat (a checkpointed scan, not a
+        4-deep join chain)."""
+        import time
+
+        import numpy as np
+        import pandas as pd
+
+        from go_matrixprofile_spark.operators.simsearch import pq_codes
+
+        rng = np.random.default_rng(17)
+        dim = 64
+        rows = [
+            (i, rng.normal(0, 1, dim).astype(np.float32).tolist())
+            for i in range(64)
+        ]
+        emb = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        )
+
+        def wall(refine):
+            t0 = time.time()
+            cb, codes = pq_codes(emb, m_sub=4, k_codes=16, dim=dim, refine=refine)
+            codes.count()
+            return time.time() - t0, cb
+
+        w1, _ = wall(1)
+        w4, cb4 = wall(4)
+        # generous 6x bound (vs ~4x ideal) absorbs VM jitter; the broken
+        # re-execute-everything lineage is multiplicatively worse
+        assert w4 < max(w1 * 6.0, w1 + 30.0), (w1, w4)
+        # the returned codebook reads from a checkpoint, not a join chain
+        plan = cb4._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan, plan[:500]

@@ -234,6 +234,33 @@ def main() -> int:
         must_not=["CartesianProduct"],
     )
 
+    # 9c. knn family top-k: every final ranking is
+    #     row_number().over(partitionBy(qid).orderBy(...)) + filter,
+    #     which Spark rewrites to a map-side WindowGroupLimit — without
+    #     that rewrite the ranking sorts the whole scored corpus in one
+    #     task per query. The rewrite was previously an unasserted
+    #     optimizer courtesy (r03 verdict nit #2); pin it for all four
+    #     families so a refactor to an unsupported rank pattern fails
+    #     the audit.
+    for fam in ("knn_brute_cosine", "knn_lsh_cosine", "knn_ivf_cosine", "knn_pq_adc"):
+        check(
+            f"{fam}: top-k compiles to map-side WindowGroupLimit",
+            qs[fam](spark, sf_dir),
+            must=["WindowGroupLimit"],
+        )
+
+    # 9d. dedup_groups: the component resolution is iterative
+    #     (per-round localCheckpoint truncates lineage), so the final
+    #     plan must read the labels from a materialized checkpoint scan
+    #     — not replay every propagation round — and the doc join stays
+    #     a hash join
+    check(
+        "dedup_groups: labels from checkpoint scan, hash-joined to docs",
+        qs["dedup_groups"](spark, sf_dir),
+        must=["Scan ExistingRDD"],
+        must_not=["CartesianProduct"],
+    )
+
     # 10. repetition stats: both aggregations split partial/final
     #     (gram counts combine map-side before any exchange); keys all
     #     include doc_id so no hot key exists
