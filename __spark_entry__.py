@@ -191,7 +191,18 @@ def q_token_counts(spark, sf_dir):
     return TX.token_counts(_documents(spark, sf_dir))
 
 
+def q_token_counts_bpe(spark, sf_dir):
+    """ORACLE-CHECKED real BPE token counting: an explicit 48-entry
+    merges table (learned deterministically from an embedded seed
+    corpus) applied as a JVM-side replace chain — no per-row Python,
+    and the DuckDB oracle applies the identical chain."""
+    return TX.token_counts_bpe(_documents(spark, sf_dir))
+
+
 def q_lang_id(spark, sf_dir):
+    """ORACLE-CHECKED character-trigram language ID (Cavnar–Trenkle
+    rank profiles over 4 languages; out-of-place distance, integer
+    math) — replaces the r03 marker-word heuristic."""
     return TX.lang_id(_documents(spark, sf_dir))
 
 
@@ -884,7 +895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
+        # token_counts (regex count) upgraded to the real-BPE variant in
+        # r4; the plain projection stays importable as q_token_counts
+        "token_counts_bpe": q_token_counts_bpe,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1388,12 +1401,7 @@ SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """,
         "text_quality": _TEXT_QUALITY_SQL,
-        "token_counts": r"""
-SELECT doc_id,
-       len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
-FROM documents
-""",
+        "token_counts_bpe": _TOKEN_BPE_SQL,
         "lang_id": _LANG_ID_SQL,
         "doc_fingerprint": r"""
 SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
@@ -2013,33 +2021,104 @@ SELECT doc_id, n_chars, n_tokens,
 FROM base
 """
 
-_LANG_ID_SQL = """
-WITH hits AS (
-  SELECT doc_id,
-    CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' the ', ''))) / 5 AS BIGINT)
-  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' and ', ''))) / 5 AS BIGINT)
-  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' of ', ''))) / 4 AS BIGINT) AS h_en,
-    CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' el ', ''))) / 4 AS BIGINT)
-  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' la ', ''))) / 4 AS BIGINT)
-  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' que ', ''))) / 5 AS BIGINT) AS h_es,
-    CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' der ', ''))) / 5 AS BIGINT)
-  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' und ', ''))) / 5 AS BIGINT)
-  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' die ', ''))) / 5 AS BIGINT) AS h_de,
-    CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' le ', ''))) / 4 AS BIGINT)
-  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' les ', ''))) / 5 AS BIGINT)
-  + CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' des ', ''))) / 5 AS BIGINT) AS h_fr
+def _lang_id_sql() -> str:
+    """Cavnar–Trenkle rank-profile LID, generated from the SAME trigram
+    profiles the engine uses (functions/langprofiles.py) so Spark and
+    DuckDB score identically — integer rank math end to end."""
+    from go_matrixprofile_spark.functions.langprofiles import (
+        K_DOC,
+        N_PROF,
+        PROFILES,
+    )
+
+    values = ",\n    ".join(
+        f"('{lang}', '{tri}', {r})"
+        for lang in sorted(PROFILES)
+        for tri, r in sorted(PROFILES[lang].items(), key=lambda kv: kv[1])
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id, ' ' || regexp_replace(lower(text), '[^a-z]', ' ', 'g') || ' ' AS n
   FROM documents
+),
+tris AS (
+  SELECT doc_id, substr(n, CAST(i AS INT), 3) AS tri
+  FROM (SELECT doc_id, n, unnest(generate_series(1, greatest(length(n) - 2, 1))) AS i
+        FROM norm)
+  WHERE length(substr(n, CAST(i AS INT), 3)) = 3
+    AND substr(n, CAST(i AS INT), 3) <> '   '
+),
+cnt AS (SELECT doc_id, tri, COUNT(*) AS c FROM tris GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, tri,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tri ASC) - 1 AS r
+  FROM cnt QUALIFY r < {K_DOC}
+),
+prof(lang, tri, pr) AS (VALUES
+    {values}
+),
+crossed AS (
+  SELECT t.doc_id, t.tri, t.r, l.lang
+  FROM top t CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+),
+j AS (
+  SELECT c.doc_id, c.lang,
+         COALESCE(ABS(c.r - p.pr), {N_PROF}) AS pen, p.pr
+  FROM crossed c LEFT JOIN prof p ON p.lang = c.lang AND p.tri = c.tri
+),
+scored AS (
+  SELECT doc_id, lang, SUM(pen) AS dist, COUNT(pr) AS matched
+  FROM j GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang, matched FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) = 1
+)
+SELECT d.doc_id,
+       CASE WHEN b.matched > 0 THEN b.lang ELSE 'und' END AS pred_lang
+FROM documents d LEFT JOIN best b USING (doc_id)
+"""
+
+
+_LANG_ID_SQL = _lang_id_sql()
+
+
+def _token_bpe_sql() -> str:
+    """REAL BPE token count, generated from the SAME merges table the
+    engine applies (functions/bpe.py): identical brace-wrapped symbol
+    rendering and identical replace chain, so the counts agree exactly."""
+    from go_matrixprofile_spark.functions.bpe import MERGES
+
+    s = (
+        "array_to_string(list_transform("
+        "list_filter(ws, w -> regexp_matches(w, '^[a-z]+$')), "
+        r"w -> regexp_replace(w, '(.)', '{\1}', 'g')), '|')"
+    )
+    for x, y in MERGES:
+        s = f"replace({s}, '{{{x}}}{{{y}}}', '{{{x}{y}}}')"
+    return rf"""
+WITH words AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         len(ws) AS n_pre,
+         len(list_filter(ws, w -> regexp_matches(w, '^[a-z]+$'))) AS n_alpha,
+         {s} AS s
+  FROM words
 )
 SELECT doc_id,
-  CASE
-    WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de AND h_fr > 0 THEN 'fr'
-    WHEN h_es >= h_en AND h_es >= h_de AND h_es > 0 THEN 'es'
-    WHEN h_en >= h_de AND h_en > 0 THEN 'en'
-    WHEN h_de > 0 THEN 'de'
-    ELSE 'und'
-  END AS pred_lang
-FROM hits
+       len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+       CAST(n_pre AS INT) AS n_pretokens,
+       CAST(n_pre - n_alpha + (length(s) - length(replace(s, '{{', ''))) AS INT)
+         AS n_bpe_tokens
+FROM m
 """
+
+
+_TOKEN_BPE_SQL = _token_bpe_sql()
 
 # embeddings exploded to (vec_id, i, x) rows — the portable base for all
 # embedding SQL (DuckDB's table-valued generate_series can't take lateral

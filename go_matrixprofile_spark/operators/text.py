@@ -86,7 +86,9 @@ def text_quality(documents: DataFrame) -> DataFrame:
 
 
 def token_counts(documents: DataFrame) -> DataFrame:
-    """Whitespace token count + BPE-ish regex token count."""
+    """Whitespace token count + pre-token (regex) count. Kept for the
+    cheap-projection use case; token_counts_bpe applies the REAL merges
+    table on top of the same pre-tokenization."""
     text = F.col("text")
     return documents.select(
         "doc_id",
@@ -95,25 +97,134 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
-    """Marker-word language heuristic: argmax of per-language hit counts,
-    ties broken by language code order, 'und' when no marker hits."""
+def token_counts_bpe(documents: DataFrame, merges=None) -> DataFrame:
+    """REAL BPE token counting from an explicit merges table
+    (functions/bpe.py, Sennrich et al. 2016) — no per-row Python.
+
+    Pre-tokenize (lowercase; [a-z]+ words / digit runs / single punct),
+    render each alphabetic word as brace-wrapped symbols
+    ("low" → "{l}{o}{w}"), then apply every merge (x, y) → xy as one
+    literal replacement "{x}{y}" → "{xy}" in rank order — left-to-right
+    non-overlapping replacement reproduces the reference tokenizer's
+    leftmost-first merging exactly (see functions/bpe.py for why one
+    pass per rank suffices). The token count is then the number of '{'
+    markers left plus one per non-alphabetic pre-token. The whole chain
+    is 48 JVM string replacements inside one projection: codegen'd,
+    shuffle-free, and expressible verbatim in the DuckDB oracle.
+
+    Output: (doc_id, n_ws_tokens, n_pretokens, n_bpe_tokens).
+    """
+    from ..functions.bpe import MERGES
+
+    merges = MERGES if merges is None else merges
     text = F.col("text")
-    scores = []
-    for lang, words in sorted(LANG_MARKERS.items()):
-        hits = None
-        for wrd in words:
-            c = _count_word(text, wrd)
-            hits = c if hits is None else hits + c
-        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    # argmax by (hits, lang desc) then prefer lexicographically-first on tie:
-    # greatest() picks max struct — struct compare is (hits, lang), so equal
-    # hits resolve to the LAST language; invert lang for first-wins by using
-    # negative? Keep simple, deterministic: max on (hits, lang) — documented.
-    best = F.greatest(*scores)
-    return documents.select(
+    words = F.regexp_extract_all(F.lower(text), F.lit(_WORDISH), 0)
+    base = documents.select(
         "doc_id",
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        F.size(F.split(text, r"\s+")).alias("n_ws_tokens"),
+        words.alias("ws"),
+    )
+    alpha = F.filter(F.col("ws"), lambda w: w.rlike("^[a-z]+$"))
+    staged = base.select(
+        "doc_id",
+        "n_ws_tokens",
+        F.size("ws").alias("n_pretokens"),
+        F.array_join(
+            F.transform(
+                alpha, lambda w: F.regexp_replace(w, r"(.)", r"{$1}")
+            ),
+            "|",
+        ).alias("s"),
+        F.size(alpha).alias("n_alpha"),
+    )
+    s = F.col("s")
+    for x, y in merges:
+        s = F.replace(s, F.lit("{" + x + "}{" + y + "}"), F.lit("{" + x + y + "}"))
+    n_syms = F.length(s) - F.length(F.replace(s, F.lit("{"), F.lit("")))
+    return staged.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_pretokens",
+        (F.col("n_pretokens") - F.col("n_alpha") + n_syms).alias("n_bpe_tokens"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Character-trigram language ID (Cavnar & Trenkle 1994 rank
+    profiles, functions/langprofiles.py): rank the document's top K_DOC
+    trigrams, score each language by the out-of-place distance against
+    its N_PROF-entry profile (absent trigram = N_PROF penalty), pick the
+    minimum (ties → lexicographically first language); 'und' when no
+    trigram matches any profile.
+
+    Plan shape at corpus scale: trigram explode → count → per-doc
+    row_number (keyed by doc_id — no hot key, and the rank-filter
+    compiles to map-side WindowGroupLimit) → broadcast join against the
+    4×N_PROF profile table → one integer aggregation per (doc, lang) →
+    per-doc argmin. Replaces the r03 marker-word heuristic, which
+    missed any sentence avoiding its 3 marker words per language.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.langprofiles import K_DOC, N_PROF, PROFILES
+
+    spark = documents.sparkSession
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", " "),
+        F.lit(" "),
+    )
+    grams = (
+        documents.select("doc_id", norm.alias("norm"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length("norm") - 2, F.lit(1))
+                    ),
+                    lambda i: F.col("norm").substr(i, F.lit(3)),
+                )
+            ).alias("tri"),
+        )
+        .where((F.length("tri") == 3) & (F.col("tri") != "   "))
+    )
+    cnt = grams.groupBy("doc_id", "tri").agg(F.count("*").alias("c"))
+    w_ = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("tri").asc())
+    top = (
+        cnt.withColumn("r", F.row_number().over(w_) - 1)
+        .where(F.col("r") < K_DOC)
+        .select("doc_id", "tri", "r")
+    )
+    langs = sorted(PROFILES)
+    prof = spark.createDataFrame(
+        [(lang, tri, r) for lang in langs for tri, r in PROFILES[lang].items()],
+        "lang string, tri string, pr int",
+    )
+    crossed = top.select(
+        "doc_id",
+        "tri",
+        "r",
+        F.explode(F.array(*[F.lit(l) for l in langs])).alias("lang"),
+    )
+    j = crossed.join(F.broadcast(prof), ["lang", "tri"], "left")
+    pen = F.coalesce(F.abs(F.col("r") - F.col("pr")), F.lit(N_PROF))
+    scored = j.groupBy("doc_id", "lang").agg(
+        F.sum(pen).alias("dist"), F.count("pr").alias("matched")
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(
+        F.col("dist").asc(), F.col("lang").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(w2)).where("rn = 1")
+    return (
+        documents.select("doc_id")
+        .join(best.select("doc_id", "lang", "matched"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("matched") > 0, F.col("lang"))
+            .otherwise(F.lit("und"))
+            .alias("pred_lang"),
+        )
     )
 
 

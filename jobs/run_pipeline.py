@@ -122,6 +122,18 @@ def main() -> None:
             ),
             partition_col="doc_bucket",
         )
+        # resolve all near-dup pair sources into components and mark the
+        # survivor per group — the stage that actually DROPS fuzzy dups;
+        # `WHERE keep` on this table is the training corpus
+        from go_matrixprofile_spark.operators.dedup import dedup_groups
+
+        stage(
+            "doc_dedup_groups",
+            dedup_groups(docs).withColumn(
+                "doc_bucket", (F.col("doc_id") % 64).cast("int")
+            ),
+            partition_col="doc_bucket",
+        )
 
     metrics["total_sec"] = round(time.time() - t_start, 2)
     print(json.dumps(metrics))

@@ -1,0 +1,129 @@
+"""BPE tokenization + trigram language-ID tests (r03 verdict items 2/3)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestBPE:
+    def test_merges_table_well_formed(self):
+        """Every merge's constituent symbols must exist (be a char or a
+        previously fused symbol) before it, and fused strings must be
+        unique — the preconditions for the one-pass-per-rank replace
+        chain to equal iterative lowest-rank-first merging."""
+        from go_matrixprofile_spark.functions.bpe import MERGES
+
+        assert len(MERGES) == 48
+        known = set("abcdefghijklmnopqrstuvwxyz")
+        fused_seen = set()
+        for x, y in MERGES:
+            assert x in known and y in known, (x, y)
+            fused = x + y
+            assert fused not in fused_seen, fused
+            fused_seen.add(fused)
+            known.add(fused)
+
+    def test_known_strings(self):
+        from go_matrixprofile_spark.functions.bpe import apply_bpe, count_tokens
+
+        assert apply_bpe("the") == ["the"]
+        # learned subwords: 'under', 'st', 'and', 'ing' (seed corpus)
+        assert apply_bpe("understanding") == ["under", "st", "and", "ing"]
+        # unknown word: falls back toward characters
+        assert len(apply_bpe("xylophone")) > 3
+        # digit runs and punctuation are 1 pre-token each
+        assert count_tokens("a1 b2!") == 5  # a,1,b,2,!
+        assert count_tokens("") == 0
+
+    def test_spark_chain_equals_reference_randomized(self, spark):
+        """The 48-replace JVM chain must reproduce the pure-Python
+        lowest-rank-first tokenizer on random words (including repeated
+        letters, the overlap-sensitive case) and on seed-corpus text."""
+        from go_matrixprofile_spark.functions.bpe import SEED_CORPUS, count_tokens
+        from go_matrixprofile_spark.operators.text import token_counts_bpe
+
+        rng = np.random.default_rng(23)
+        letters = "aaeeiinnoorrssttth"  # biased toward merge-rich chars
+        texts = [
+            "".join(rng.choice(list(letters), size=rng.integers(1, 30)))
+            for _ in range(60
+            )
+        ]
+        texts += [
+            " ".join(
+                "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz0123456789.,!"),
+                                   size=rng.integers(1, 12)))
+                for _ in range(rng.integers(1, 15))
+            )
+            for _ in range(40)
+        ]
+        texts += [line for line in SEED_CORPUS.strip().split("\n")[:10]]
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        got = token_counts_bpe(docs).orderBy("doc_id").toPandas()
+        for i, t in enumerate(texts):
+            assert int(got["n_bpe_tokens"].iloc[i]) == count_tokens(t), t
+
+
+class TestLangID:
+    def test_non_marker_sentences_labeled(self, spark):
+        """Sentences that avoid the r03 marker words entirely (no
+        the/and/of, el/la/que, der/und/die, le/les/des) must still get
+        the right label — the case the marker heuristic missed."""
+        from go_matrixprofile_spark.operators.text import lang_id
+
+        cases = [
+            ("en", "Several colleagues mentioned that progress happens gradually when people collaborate."),
+            ("en", "Computers process information quickly but people imagine possibilities."),
+            ("en", "Writing tests helps with finding mistakes early during development."),
+            ("es", "Muchos companeros dijeron que conseguimos buenos resultados cuando trabajamos juntos."),
+            ("es", "Mi vecino compro manzanas naranjas ciruelas y uvas en un mercado ayer."),
+            ("de", "Mehrere kollegen sagten dass fortschritt allmahlich entsteht wenn menschen zusammenarbeiten."),
+            ("de", "Mein nachbar kaufte gestern apfel orangen pflaumen auf einem dorfmarkt."),
+            ("fr", "Plusieurs collegues disaient que nous obtenons un bon resultat quand nous travaillons ensemble."),
+            ("fr", "Mon voisin a achete une pomme une orange une prune et du raisin au marche hier."),
+            ("und", "12345 !!! ???"),
+            ("und", ""),
+        ]
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": range(len(cases)),
+                    "text": [t for _, t in cases],
+                }
+            )
+        )
+        got = lang_id(docs).orderBy("doc_id").toPandas()
+        for i, (want, text) in enumerate(cases):
+            assert got["pred_lang"].iloc[i] == want, (text, got["pred_lang"].iloc[i])
+
+    def test_spark_equals_reference(self, spark):
+        """Engine prediction == the pure-Python reference scorer on a
+        mixed bag including short/ambiguous fragments (exact tie and
+        penalty semantics, not just easy labels)."""
+        from go_matrixprofile_spark.functions.langprofiles import predict
+        from go_matrixprofile_spark.operators.text import lang_id
+
+        rng = np.random.default_rng(7)
+        frags = [
+            "la de le el und the les los der die",  # deliberately mixed
+            "a b c",
+            "zzz qqq xxx",
+            "es es es es",
+            "ing ing ing",
+        ]
+        frags += [
+            " ".join(
+                "".join(rng.choice(list("aeinorst "), size=rng.integers(2, 9)))
+                for _ in range(rng.integers(1, 8))
+            )
+            for _ in range(30)
+        ]
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(frags)), "text": frags})
+        )
+        got = lang_id(docs).orderBy("doc_id").toPandas()
+        for i, t in enumerate(frags):
+            assert got["pred_lang"].iloc[i] == predict(t), t
