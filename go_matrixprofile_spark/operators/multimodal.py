@@ -6,12 +6,14 @@ cross a per-row Python boundary.
 
 Two decode tiers:
 - REAL decode for byte formats needing no codec library, parsed with
-  pure NumPy (functions/media.py): RIFF/WAV PCM16 (kind='wav'),
-  binary PPM (kind='ppm'), baseline sequential JPEG per ITU T.81
-  (kind='image' with an FFD8 payload), and MJPEG-in-AVI video
-  (kind='video' with a RIFF/AVI payload) — duration/RMS/ZCR/spectral-
-  centroid for audio, dims/channel-means/luminance-histogram for
-  images, dims/frame-count/motion-energy/luminance for video.
+  pure NumPy (functions/media.py, functions/flac.py): RIFF/WAV PCM16
+  (kind='wav'), FLAC per RFC 9639 (kind='flac' or an audio payload
+  with the fLaC magic), binary PPM (kind='ppm'), baseline sequential
+  JPEG per ITU T.81 (kind='image' with an FFD8 payload), and
+  MJPEG-in-AVI video (kind='video' with a RIFF/AVI payload) —
+  duration/RMS/ZCR/spectral-centroid for audio, dims/channel-means/
+  luminance-histogram for images, dims/frame-count/motion-energy/
+  luminance for video.
 - STUB only for the mp3 stand-in (kind 'audio') and non-AVI video,
   which genuinely require ffmpeg: decode_stub=True (default) derives a
   deterministic signature from payload byte statistics so plumbing,
@@ -76,6 +78,7 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     interleaved with opaque random payloads for the stubbed kinds."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.flac import encode_flac
         from ..functions.media import (
             encode_jpeg_baseline,
             encode_mjpeg_avi,
@@ -87,8 +90,15 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             rows = []
             for i in pdf["id"]:
                 rng = np.random.default_rng([seed, int(i)])
-                kind = ["wav", "ppm", "image", "audio", "video"][int(i) % 5]
-                if kind == "wav":
+                kind = ["wav", "ppm", "image", "audio", "video", "flac"][int(i) % 6]
+                if kind == "flac":
+                    sr = 8000
+                    dur = float(rng.uniform(0.05, 0.4))
+                    t = np.arange(int(sr * dur)) / sr
+                    freq = float(rng.uniform(100, 1000))
+                    payload = encode_flac(0.5 * np.sin(2 * np.pi * freq * t), sr)
+                    meta = {"width": None, "height": None, "sample_rate": sr, "n_frames": None}
+                elif kind == "wav":
                     sr = 8000
                     dur = float(rng.uniform(0.05, 0.4))
                     t = np.arange(int(sr * dur)) / sr
@@ -147,9 +157,10 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract media payloads (Arrow-batched).
 
-    WAV (RIFF/PCM16), PPM (P6), baseline JPEG (ITU T.81 SOF0) and
-    MJPEG-in-AVI video decode for REAL via the pure-NumPy codecs in
-    functions.media. Only mp3 (and non-AVI video) remain stubbed
+    WAV (RIFF/PCM16), FLAC (RFC 9639 subset, CRC+MD5-verified), PPM
+    (P6), baseline JPEG (ITU T.81 SOF0) and MJPEG-in-AVI video decode
+    for REAL via the pure-NumPy codecs in functions.media /
+    functions.flac. Only mp3 (and non-AVI video) remain stubbed
     (genuinely codec-library-bound): with decode_stub=True the
     "decoder" derives a deterministic dim-float signature from payload
     byte statistics — the Spark-side plumbing (schema, batching,
@@ -165,6 +176,7 @@ def extract_features(
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.flac import flac_features
         from ..functions.media import (
             jpeg_features,
             mjpeg_features,
@@ -189,6 +201,8 @@ def extract_features(
                 try:
                     if row.kind == "wav":
                         feat = np.asarray(wav_features(buf, dim), dtype=np.float32)
+                    elif row.kind in ("flac", "audio") and buf[:4] == b"fLaC":
+                        feat = np.asarray(flac_features(buf, dim), dtype=np.float32)
                     elif row.kind == "ppm":
                         feat = np.asarray(ppm_features(buf, dim), dtype=np.float32)
                     elif row.kind == "image" and buf[:2] == b"\xff\xd8":

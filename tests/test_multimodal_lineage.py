@@ -33,6 +33,67 @@ class TestMultimodal:
         with pytest.raises(Exception):
             extract_features(media, decode_stub=False).count()
 
+    def test_flac_real_decode_through_spark(self, spark):
+        """FLAC payloads decode for REAL (RFC 9639 subset: fixed
+        predictors + Rice, CRC-8/16 + MD5 verified): a pure sine's RMS
+        is amp/sqrt(2) and its spectral centroid sits at the tone —
+        same physics pins as the WAV path."""
+        import pandas as pd
+
+        from go_matrixprofile_spark.functions.flac import encode_flac
+        from go_matrixprofile_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+        )
+
+        sr, freq, amp = 8000, 440.0, 0.8
+        t = np.arange(sr) / sr  # 1 second
+        payload = encode_flac(amp * np.sin(2 * np.pi * freq * t), sr)
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                [(0, "flac", payload, {"width": None, "height": None,
+                                       "sample_rate": sr, "n_frames": None})],
+                columns=["doc_id", "kind", "payload", "meta"],
+            ),
+            schema=MEDIA_SCHEMA,
+        )
+        # decode_stub=False: the FLAC path must be REAL, not the stub
+        feats = extract_features(media, dim=16, decode_stub=False).toPandas()
+        assert feats["decode_err"].iloc[0] is None
+        dur, rms, zcr, centroid = feats["feature"].iloc[0][:4]
+        assert abs(dur - 1.0) < 1e-6
+        assert abs(rms - amp / np.sqrt(2)) < 1e-3
+        assert abs(centroid - freq) < 2.0
+        assert abs(zcr - 2 * freq / sr) < 0.01
+
+    def test_flac_roundtrip_and_integrity(self):
+        """Codec-level: bit-exact roundtrip (mono + stereo + constant +
+        partial last block) and loud failure on corruption."""
+        import numpy as np
+        import pytest as _pytest
+
+        from go_matrixprofile_spark.functions.flac import decode_flac, encode_flac
+
+        rng = np.random.default_rng(31)
+        sr = 16000
+        for sig in (
+            0.5 * np.sin(2 * np.pi * 330 * np.arange(5000) / sr),
+            np.full(4097, 0.25),
+            rng.normal(0, 0.2, 1234),
+            np.stack([rng.normal(0, 0.3, 3000), rng.normal(0, 0.1, 3000)], axis=1),
+        ):
+            buf = encode_flac(sig, sr)
+            got_sr, got = decode_flac(buf)
+            assert got_sr == sr
+            want = (np.clip(sig, -1, 1) * 32767.0).round() / 32767.0
+            if want.ndim == 2:
+                want = want.mean(axis=1)
+            np.testing.assert_allclose(got, want, atol=1e-12)
+        bad = bytearray(buf)
+        bad[len(bad) // 2] ^= 0xFF
+        with _pytest.raises(ValueError):
+            decode_flac(bytes(bad))
+
     def test_corrupt_payload_quarantined_not_fatal(self, spark):
         """A truncated JPEG (FFD8 magic, garbage body) must not kill the
         stage: the row survives with decode_err set and the stub
