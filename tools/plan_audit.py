@@ -261,6 +261,34 @@ def main() -> int:
         must_not=["CartesianProduct"],
     )
 
+    # 9e. BPE token counting: the 48-replace merge chain is a single
+    #     shuffle-free projection (no Exchange, no Python UDF) — the
+    #     whole tokenizer stays inside whole-stage codegen
+    p = plan_of(qs["token_counts_bpe"](spark, sf_dir))
+    checks.append(
+        (
+            "token_counts_bpe: shuffle-free single-scan replace chain",
+            p,
+            [
+                ("no exchange (pure projection)", "Exchange" not in p),
+                ("no python UDF", "Python" not in p),
+                # formatted plans print each scan node twice (tree +
+                # detail): exactly one parquet scan == 2 occurrences
+                ("single parquet scan", p.count("Scan parquet") == 2),
+            ],
+        )
+    )
+
+    # 9f. trigram lang ID: doc-profile ranking is keyed by doc_id (no
+    #     hot key) and its rank-filter compiles to map-side
+    #     WindowGroupLimit; the 600-row profile table broadcasts
+    check(
+        "lang_id: per-doc WindowGroupLimit + broadcast profile join",
+        qs["lang_id"](spark, sf_dir),
+        must=["WindowGroupLimit", "BroadcastHashJoin", "partial_count"],
+        must_not=["CartesianProduct"],
+    )
+
     # 10. repetition stats: both aggregations split partial/final
     #     (gram counts combine map-side before any exchange); keys all
     #     include doc_id so no hot key exists
