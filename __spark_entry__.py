@@ -253,6 +253,17 @@ def q_dedup_groups(spark, sf_dir):
     return DD.dedup_groups(_documents(spark, sf_dir))
 
 
+def q_corpus_build(spark, sf_dir):
+    """ORACLE-CHECKED training-corpus materialization: the composed end
+    stage — near-dup group survivors ∧ quality ≥ 0.3 ∧ dup-3gram ≤ 0.5,
+    carrying the real BPE token count for budget accounting. Composes
+    four independently-green operators; each gate is one doc_id hash
+    join."""
+    from go_matrixprofile_spark.operators.corpus import build_corpus
+
+    return build_corpus(_documents(spark, sf_dir))
+
+
 def q_quality_repetition(spark, sf_dir):
     """ORACLE-CHECKED Gopher-style repetition signals (Rae et al. 2021):
     top-/duplicate-n-gram occurrence fractions for n=1..3 per doc — the
@@ -903,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "dedup_groups": q_dedup_groups,
+        "corpus_build": q_corpus_build,
         "quality_repetition": q_quality_repetition,
         "knn_brute_cosine": q_knn_brute_cosine,
         "knn_lsh_cosine": q_knn_lsh_cosine,
@@ -939,9 +951,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # joined the value-checked block: discords are doubly
         # value-checked by mp_discords_oracle AND mp_av_discords_oracle,
         # and mp_event_rate keeps the full-scale profile path)
+        # (pmp_event_rate dropped for the 50-row gate when corpus_build
+        # joined the value-checked block: the pan-MP family is
+        # value-checked by pmp_oracle; kmp_event_types keeps a
+        # multi-profile full-scale row)
         "mp_event_rate": q_mp_event_rate,
         "kmp_event_types": q_kmp_event_types,
-        "pmp_event_rate": q_pmp_event_rate,
         # (mp_ab_join dropped for the 50-row gate when knn_pq_adc joined
         # the value-checked block: the AB path is doubly value-checked by
         # mp_ab_oracle AND mp_ab_chunked_oracle; mpdist_pairs dropped
@@ -1048,9 +1063,9 @@ shingles AS (
 # dedup_groups oracle: the three text pair sources (same parameters as
 # their individually-green oracles, CTEs prefix-renamed to coexist),
 # unioned, then transitive closure via a recursive CTE — component =
-# MIN reachable node; docs in no pair are their own singleton.
-_DEDUP_GROUPS_SQL = r"""
-WITH RECURSIVE
+# MIN reachable node; docs in no pair are their own singleton. The CTE
+# list is kept separate so the corpus_build oracle can reuse it.
+_DEDUP_GROUPS_CTES = r"""
 docs AS (SELECT doc_id, text FROM documents),
 mh_shingles AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle
@@ -1071,10 +1086,28 @@ mh_bands AS (
          string_agg(h_idx || ':' || minhash, '_' ORDER BY h_idx || ':' || minhash) AS band_sig
   FROM mh GROUP BY 1, 2
 ),
-mh_pairs AS (
+mh_cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM mh_bands a JOIN mh_bands b
     ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+-- verify minhash candidates with exact n-gram Jaccard >= 0.5 before
+-- clustering (transitive closure amplifies false edges); simhash and
+-- winnow pairs carry their own verification already
+mh_sizes AS (SELECT doc_id, COUNT(*) AS n FROM mh_shingles GROUP BY 1),
+mh_inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+  FROM mh_cand c
+  JOIN mh_shingles a ON a.doc_id = c.a_id
+  JOIN mh_shingles b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+mh_pairs AS (
+  SELECT i.a_id, i.b_id
+  FROM mh_inter i
+  JOIN mh_sizes sa ON sa.doc_id = i.a_id
+  JOIN mh_sizes sb ON sb.doc_id = i.b_id
+  WHERE ROUND(i.n_inter / CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 4) >= 0.5
 ),
 sh_toks AS (
   SELECT doc_id, tok FROM (
@@ -1148,7 +1181,11 @@ reach AS (
   UNION
   SELECT e.u, rc.r FROM edges e JOIN reach rc ON rc.u = e.v
 ),
-comp AS (SELECT u AS doc_id, MIN(r) AS component_id FROM reach GROUP BY u)
+comp AS (SELECT u AS doc_id, MIN(r) AS component_id FROM reach GROUP BY u)"""
+
+_DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE
+{_DEDUP_GROUPS_CTES}
 SELECT d.doc_id,
        CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS component_id,
        COALESCE(c.component_id, d.doc_id) = d.doc_id AS keep
@@ -1412,6 +1449,22 @@ WITH {_WINNOW_FPS}
 SELECT doc_id, fp FROM fps
 """,
         "dedup_groups": _DEDUP_GROUPS_SQL,
+        "corpus_build": f"""
+WITH RECURSIVE
+{_DEDUP_GROUPS_CTES},
+q AS ({_TEXT_QUALITY_SQL}),
+rep AS ({_REPETITION_SQL}),
+tok AS ({_TOKEN_BPE_SQL})
+SELECT d.doc_id, tok.n_bpe_tokens, q.quality
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+JOIN q ON q.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
+JOIN tok ON tok.doc_id = d.doc_id
+WHERE COALESCE(c.component_id, d.doc_id) = d.doc_id
+  AND q.quality >= 0.3
+  AND (rep.dup_3gram_frac IS NULL OR rep.dup_3gram_frac <= 0.5)
+""",
         "winnow_dup_pairs": f"""
 WITH {_WINNOW_FPS},
 dfs AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp),
@@ -1424,46 +1477,7 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
 FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= 5
 """,
-        "quality_repetition": r"""
-WITH words AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
-),
-grams AS (
-  SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM words
-  UNION ALL
-  SELECT doc_id, 2 AS n,
-         unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
-  FROM words
-  UNION ALL
-  SELECT doc_id, 3 AS n,
-         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                 for i in range(1, len(ws) - 1)]) AS gram
-  FROM words
-),
-cnts AS (
-  SELECT doc_id, n, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, n, gram
-),
-per AS (
-  SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS total, MAX(c) AS top,
-         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
-  FROM cnts GROUP BY doc_id, n
-)
-SELECT doc_id,
-  MAX(CASE WHEN n = 1 THEN total END) AS n_words,
-  ROUND(MAX(CASE WHEN n = 1 THEN top END)
-        / NULLIF(MAX(CASE WHEN n = 1 THEN total END), 0), 4) AS top_1gram_frac,
-  ROUND(MAX(CASE WHEN n = 1 THEN dup END)
-        / NULLIF(MAX(CASE WHEN n = 1 THEN total END), 0), 4) AS dup_1gram_frac,
-  ROUND(MAX(CASE WHEN n = 2 THEN top END)
-        / NULLIF(MAX(CASE WHEN n = 2 THEN total END), 0), 4) AS top_2gram_frac,
-  ROUND(MAX(CASE WHEN n = 2 THEN dup END)
-        / NULLIF(MAX(CASE WHEN n = 2 THEN total END), 0), 4) AS dup_2gram_frac,
-  ROUND(MAX(CASE WHEN n = 3 THEN top END)
-        / NULLIF(MAX(CASE WHEN n = 3 THEN total END), 0), 4) AS top_3gram_frac,
-  ROUND(MAX(CASE WHEN n = 3 THEN dup END)
-        / NULLIF(MAX(CASE WHEN n = 3 THEN total END), 0), 4) AS dup_3gram_frac
-FROM per GROUP BY doc_id
-""",
+        "quality_repetition": _REPETITION_SQL,
         "mp_stomp_oracle": f"""
 WITH {_LAT40},
 {_SELF_DISTS}
@@ -1992,6 +2006,47 @@ SELECT qid, CAST(rank AS INT) AS rank, nid, dist FROM (
     d["mp_stmp_oracle"] = d["mp_stomp_oracle"]
     return d
 
+
+_REPETITION_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM words
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+  FROM words
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in range(1, len(ws) - 1)]) AS gram
+  FROM words
+),
+cnts AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, n, gram
+),
+per AS (
+  SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS total, MAX(c) AS top,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+  FROM cnts GROUP BY doc_id, n
+)
+SELECT doc_id,
+  MAX(CASE WHEN n = 1 THEN total END) AS n_words,
+  ROUND(MAX(CASE WHEN n = 1 THEN top END)
+        / NULLIF(MAX(CASE WHEN n = 1 THEN total END), 0), 4) AS top_1gram_frac,
+  ROUND(MAX(CASE WHEN n = 1 THEN dup END)
+        / NULLIF(MAX(CASE WHEN n = 1 THEN total END), 0), 4) AS dup_1gram_frac,
+  ROUND(MAX(CASE WHEN n = 2 THEN top END)
+        / NULLIF(MAX(CASE WHEN n = 2 THEN total END), 0), 4) AS top_2gram_frac,
+  ROUND(MAX(CASE WHEN n = 2 THEN dup END)
+        / NULLIF(MAX(CASE WHEN n = 2 THEN total END), 0), 4) AS dup_2gram_frac,
+  ROUND(MAX(CASE WHEN n = 3 THEN top END)
+        / NULLIF(MAX(CASE WHEN n = 3 THEN total END), 0), 4) AS top_3gram_frac,
+  ROUND(MAX(CASE WHEN n = 3 THEN dup END)
+        / NULLIF(MAX(CASE WHEN n = 3 THEN total END), 0), 4) AS dup_3gram_frac
+FROM per GROUP BY doc_id
+"""
 
 _TEXT_QUALITY_SQL = r"""
 WITH base AS (

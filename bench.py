@@ -245,7 +245,7 @@ def _ensure_scale_arrays(spark) -> str:
     return SCALE_ARRAYS_PATH
 
 
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "5000"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "20000"))
 SCALE_DOCS_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "_data", "scale_docs.parquet"
 )
@@ -254,7 +254,11 @@ SCALE_DOCS_PATH = os.path.join(
 def _ensure_scale_docs(spark) -> str:
     """One-time deterministic document corpus for the dedup scaling
     phase: word-soup texts with ~10% planted near-duplicates (same base
-    text, a few words mutated) so the LSH/winnow joins do real work."""
+    text, a few words mutated) so the LSH/winnow joins do real work.
+    The 5000-word vocab keeps accidental shingle collisions rare, so
+    candidate pairs are dominated by the planted duplicates — the
+    realistic block-size regime (a 600-word vocab produced 600k junk
+    pairs and skewed LSH buckets that throttled the N→4N ladder)."""
     if not os.path.isdir(SCALE_DOCS_PATH):
         import pandas as pd
         from pyspark.sql import types as T
@@ -265,7 +269,7 @@ def _ensure_scale_docs(spark) -> str:
                 T.StructField("text", T.StringType(), False),
             ]
         )
-        vocab = [f"w{i:03d}" for i in range(600)]
+        vocab = [f"w{i:04d}" for i in range(5000)]
 
         def gen(batches):
             import numpy as np

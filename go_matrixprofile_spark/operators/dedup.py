@@ -309,6 +309,47 @@ def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
     return sums.select("doc_id", sig.alias("simhash"))
 
 
+def jaccard_verify_pairs(
+    documents: DataFrame,
+    pairs: DataFrame,
+    k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN candidate pair list (a_id, b_id):
+    keeps pairs with jaccard >= threshold. The verification stage between
+    LSH candidates and clustering — raw band-bucket candidates chained
+    through connected components over-merge wildly (a candidate is a
+    hash coincidence, not a measured similarity).
+
+    Same hot-key-safe shape as ngram_jaccard_pairs phase 2: the exact
+    intersection joins the full shingle sets THROUGH the pair list, so
+    shuffle keys are (a_id) then (b_id, shingle) — never a raw hot
+    shingle. Jaccard is ROUND(4)-quantized before the threshold so the
+    decision hashes identically across engines."""
+    sh = shingles(documents, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    cand = pairs.select("a_id", "b_id")
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "shingle"), ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .where(
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4
+            )
+            >= threshold
+        )
+        .select("a_id", "b_id")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",
@@ -399,29 +440,43 @@ def dedup_groups(
     pairs: DataFrame | None = None,
     embeddings: DataFrame | None = None,
     max_iter: int = 25,
+    verify_jaccard: float | None = 0.5,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into dedup groups with one survivor each:
     (doc_id, component_id, keep) for EVERY document.
 
     The final stage of a production fuzzy dedup: the pair operators
     (minhash_lsh_pairs, simhash_near_dup_pairs, winnow_dup_pairs,
-    simsearch.cosine_near_dup_pairs) emit candidate edges; this resolves
-    the union of those edges into connected components and picks the
+    simsearch.cosine_near_dup_pairs) emit edges; this resolves the
+    union of those edges into connected components and picks the
     min-doc_id member as the canonical survivor (keep = True). Docs in
     no pair are their own singleton component (keep = True); the
     training corpus is `WHERE keep`.
 
+    Edge quality matters here more than anywhere: transitive closure
+    amplifies false edges, so UNVERIFIED minhash band candidates (hash
+    coincidences) would chain whole corpora into one component. The
+    default therefore verifies the minhash candidates with exact
+    n-gram Jaccard >= verify_jaccard before clustering
+    (jaccard_verify_pairs); simhash pairs carry their own exact
+    Hamming verification and winnow pairs their >= min_shared rare-
+    fingerprint requirement already. Pass verify_jaccard=None to
+    cluster raw candidates (the over-merging behavior, occasionally
+    wanted for recall-first dedup).
+
     pairs: pre-computed edge DataFrame with (a_id, b_id) columns — pass
     the union of whichever sources apply. Defaults to
-    minhash ∪ simhash ∪ winnow over `documents` (embedding cosine pairs
-    are unioned in when `embeddings` is given).
+    verified-minhash ∪ simhash ∪ winnow over `documents` (embedding
+    cosine pairs are unioned in when `embeddings` is given).
     """
     from .simsearch import cosine_near_dup_pairs
 
     if pairs is None:
+        mh = minhash_lsh_pairs(documents, 8, 8, 2).select("a_id", "b_id")
+        if verify_jaccard is not None:
+            mh = jaccard_verify_pairs(documents, mh, k=8, threshold=verify_jaccard)
         pairs = (
-            minhash_lsh_pairs(documents, 8, 8, 2)
-            .select("a_id", "b_id")
+            mh
             .unionByName(
                 simhash_near_dup_pairs(
                     documents, n_bits=32, n_bands=4, max_hamming=3
