@@ -9,16 +9,19 @@ it for REAL, like WAV/PPM/JPEG/MJPEG-AVI before it. Supported subset
 - fLaC marker + STREAMINFO metadata block (incl. the MD5 of the
   unencoded samples, verified on decode)
 - fixed-blocksize frames, mono or independent stereo, 16-bit samples
-- CONSTANT, VERBATIM and FIXED-predictor (order 0-4) subframes
+- CONSTANT, VERBATIM, FIXED-predictor (order 0-4) and LPC subframes
+  (any order on decode; encoder emits Levinson-Durbin LPC at
+  ``lpc_order`` > 0 with 12-bit quantized coefficients)
 - partitioned-Rice residual coding (4-bit parameters), partition
   order 0 on encode, any order on decode
 - frame-header CRC-8 and whole-frame CRC-16, verified on decode
 
-LPC subframes and wasted-bits are not emitted by this encoder and are
-rejected with a clear error on decode — the honest boundary of the
-subset. Throughput note: Rice coding walks bits in Python, which is
-fine for the clip-length payloads the multimodal pipeline feature-
-extracts (mapInPandas batches, a few thousand samples each).
+Wasted-bits and stereo decorrelation (left/side etc.) are not emitted
+by this encoder and are rejected with a clear error on decode — the
+honest boundary of the subset. Throughput note: Rice coding walks bits
+in Python, which is fine for the clip-length payloads the multimodal
+pipeline feature-extracts (mapInPandas batches, a few thousand samples
+each).
 """
 
 from __future__ import annotations
@@ -169,6 +172,45 @@ def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
     return r
 
 
+def _levinson_durbin(autoc: np.ndarray, order: int) -> np.ndarray:
+    """LPC coefficients from autocorrelation (classic recursion)."""
+    err = autoc[0]
+    lpc = np.zeros(order)
+    for i in range(order):
+        acc = autoc[i + 1] - np.dot(lpc[:i], autoc[i:0:-1])
+        k = acc / err if err > 0 else 0.0
+        lpc[i] = k
+        lpc[:i] = lpc[:i] - k * lpc[i - 1 :: -1] if i else lpc[:i]
+        err *= 1.0 - k * k
+        if err <= 0:
+            break
+    return lpc
+
+
+def _quantize_lpc(lpc: np.ndarray, precision: int = 12) -> tuple[np.ndarray, int]:
+    """Quantize float LPC coefficients to `precision`-bit ints with a
+    common power-of-two shift (the bitstream's qlp representation)."""
+    cmax = float(np.abs(lpc).max())
+    if cmax <= 0:
+        return np.zeros(lpc.size, dtype=np.int64), 0
+    # largest shift such that round(coef * 2^shift) fits precision bits
+    shift = precision - 1 - int(np.floor(np.log2(cmax))) - 1
+    shift = max(0, min(15, shift))
+    lim = (1 << (precision - 1)) - 1
+    q = np.clip(np.round(lpc * (1 << shift)), -lim - 1, lim).astype(np.int64)
+    return q, shift
+
+
+def _lpc_residual(x: np.ndarray, q: np.ndarray, shift: int) -> np.ndarray:
+    """Integer LPC residual exactly as the decoder will reconstruct:
+    pred = (sum q[i] * x[n-1-i]) >> shift (arithmetic)."""
+    order = q.size
+    n = x.size
+    hist = np.stack([x[order - 1 - i : n - 1 - i] for i in range(order)])
+    pred = (q @ hist) >> shift
+    return x[order:] - pred
+
+
 def _best_rice_k(u: np.ndarray) -> int:
     best_k, best_bits = 0, None
     for k in range(15):
@@ -180,9 +222,16 @@ def _best_rice_k(u: np.ndarray) -> int:
     return best_k
 
 
-def encode_flac(samples: np.ndarray, sample_rate: int) -> bytes:
+def encode_flac(
+    samples: np.ndarray, sample_rate: int, lpc_order: int = 8
+) -> bytes:
     """Encode float samples in [-1, 1] (mono 1-D or (n, 2) stereo) to a
-    spec-conformant FLAC stream (16-bit, fixed 4096-sample blocks)."""
+    spec-conformant FLAC stream (16-bit, fixed 4096-sample blocks).
+
+    Per block and channel the encoder picks the cheapest of CONSTANT,
+    FIXED order 0-2, Levinson-Durbin LPC of order ``lpc_order`` (12-bit
+    quantized coefficients; 0 disables), or VERBATIM, by exact Rice bit
+    cost — the same decision a production encoder makes."""
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 1:
         chans = [np.clip(x, -1, 1)]
@@ -227,30 +276,64 @@ def encode_flac(samples: np.ndarray, sample_rate: int) -> bytes:
                 w.put(0, 1)
                 w.put(int(blk[0]), 16)
                 continue
+
+            def rice_cost(res):
+                u = ((res << 1) ^ (res >> 63)).astype(np.int64)
+                k = _best_rice_k(u)
+                return int((u >> k).sum()) + u.size * (1 + k), k, u
+
+            # candidate 1: best fixed predictor (order 0-2)
             order = min(
                 range(3),
                 key=lambda o: int(np.abs(_fixed_residual(blk, o)).sum())
                 if bs > o
                 else 1 << 62,
             )
-            res = _fixed_residual(blk, order)
-            u = ((res << 1) ^ (res >> 63)).astype(np.uint64)
-            k = _best_rice_k(u.astype(np.int64))
-            rice_bits = int((u >> np.uint64(k)).sum()) + u.size * (1 + k)
-            if rice_bits + order * 16 >= bs * 16:
-                w.put(0b000001, 6)  # VERBATIM is cheaper
+            fres = _fixed_residual(blk, order)
+            fbits, fk, fu = rice_cost(fres)
+            fbits += order * 16
+
+            # candidate 2: Levinson-Durbin LPC (12-bit quantized coefs)
+            lbits = 1 << 62
+            if 0 < lpc_order < bs:
+                xf = blk.astype(np.float64)
+                autoc = np.array(
+                    [np.dot(xf[: bs - i], xf[i:]) for i in range(lpc_order + 1)]
+                )
+                qlp, shift = _quantize_lpc(
+                    _levinson_durbin(autoc, lpc_order), 12
+                )
+                lres = _lpc_residual(blk, qlp, shift)
+                lbits, lk, lu = rice_cost(lres)
+                lbits += lpc_order * 16 + 4 + 5 + lpc_order * 12
+
+            best = min(fbits, lbits, bs * 16)
+            if best == bs * 16:
+                w.put(0b000001, 6)  # VERBATIM is cheapest
                 w.put(0, 1)
                 for v in blk:
                     w.put(int(v), 16)
                 continue
-            w.put(0b001000 | order, 6)  # FIXED
-            w.put(0, 1)  # no wasted bits
-            for v in blk[:order]:
-                w.put(int(v), 16)
+            if best == lbits:
+                w.put(0b100000 | (lpc_order - 1), 6)  # LPC
+                w.put(0, 1)
+                for v in blk[:lpc_order]:
+                    w.put(int(v), 16)
+                w.put(12 - 1, 4)  # coefficient precision - 1
+                w.put(shift, 5)
+                for q in qlp:
+                    w.put(int(q), 12)
+                k, u = lk, lu
+            else:
+                w.put(0b001000 | order, 6)  # FIXED
+                w.put(0, 1)  # no wasted bits
+                for v in blk[:order]:
+                    w.put(int(v), 16)
+                k, u = fk, fu
             w.put(0b00, 2)  # 4-bit rice params
             w.put(0, 4)  # partition order 0
             w.put(k, 4)
-            for uu in u.astype(np.int64):
+            for uu in u:
                 w.put_unary(int(uu) >> k)
                 w.put(int(uu), k)
         w.align()
@@ -345,21 +428,13 @@ def decode_flac(buf: bytes) -> tuple[int, np.ndarray]:
             stype = r.read(6)
             if r.read(1):
                 raise ValueError("flac: wasted bits not supported")
-            if stype == 0:
-                v = r.read_signed(16)
-                chans[c].extend([v] * bs)
-            elif stype == 1:
-                chans[c].extend(r.read_signed(16) for _ in range(bs))
-            elif 8 <= stype <= 12:
-                order = stype - 8
-                warm = [r.read_signed(16) for _ in range(order)]
+            def read_rice_residual(order: int) -> list[int]:
                 method = r.read(2)
                 if method != 0:
                     raise ValueError("flac: only 4-bit rice supported")
                 porder = r.read(4)
                 res: list[int] = []
-                nparts = 1 << porder
-                for p in range(nparts):
+                for p in range(1 << porder):
                     cnt = bs >> porder
                     if p == 0:
                         cnt -= order
@@ -370,14 +445,39 @@ def decode_flac(buf: bytes) -> tuple[int, np.ndarray]:
                         q = r.read_unary()
                         u = (q << k) | r.read(k)
                         res.append((u >> 1) ^ -(u & 1))
+                return res
+
+            if stype == 0:
+                v = r.read_signed(16)
+                chans[c].extend([v] * bs)
+            elif stype == 1:
+                chans[c].extend(r.read_signed(16) for _ in range(bs))
+            elif 8 <= stype <= 12:
+                order = stype - 8
+                warm = [r.read_signed(16) for _ in range(order)]
                 out = list(warm)
                 coefs = _FIXED_COEFS[order]
-                for rr in res:
+                for rr in read_rice_residual(order):
                     pred = sum(coefs[i] * out[-1 - i] for i in range(order))
                     out.append(pred + rr)
                 chans[c].extend(out)
+            elif stype >= 32:
+                order = (stype & 31) + 1
+                warm = [r.read_signed(16) for _ in range(order)]
+                precision = r.read(4) + 1
+                if precision == 16:
+                    raise ValueError("flac: invalid qlp precision")
+                shift = r.read_signed(5)
+                if shift < 0:
+                    raise ValueError("flac: negative qlp shift not supported")
+                qlp = [r.read_signed(precision) for _ in range(order)]
+                out = list(warm)
+                for rr in read_rice_residual(order):
+                    pred = sum(qlp[i] * out[-1 - i] for i in range(order)) >> shift
+                    out.append(pred + rr)
+                chans[c].extend(out)
             else:
-                raise ValueError("flac: LPC subframes not supported")
+                raise ValueError(f"flac: reserved subframe type {stype}")
         r.align()
         body_len = r.bytepos - frame_start
         (crc_expect,) = struct.unpack(">H", buf[r.bytepos : r.bytepos + 2])

@@ -9,28 +9,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# tiny fixed marker lists for the n-gram/stopword language heuristic;
-# parity with the oracle SQL requires these exact lists
-LANG_MARKERS = {
-    "en": ["the", "and", "of"],
-    "es": ["el", "la", "que"],
-    "de": ["der", "und", "die"],
-    "fr": ["le", "les", "des"],
-}
-
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 _WORDISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
-
-
-def _count_word(col, word: str):
-    """Occurrences of a word with surrounding spaces (cheap, exact in SQL)."""
-    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
-    needle = f" {word} "
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
-        / len(needle)
-    ).cast("long")
 
 
 def text_quality(documents: DataFrame) -> DataFrame:

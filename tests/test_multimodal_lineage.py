@@ -93,6 +93,16 @@ class TestMultimodal:
         bad[len(bad) // 2] ^= 0xFF
         with _pytest.raises(ValueError):
             decode_flac(bytes(bad))
+        # LPC subframes: a pure sine must pick the Levinson-Durbin path
+        # (cost-based), compress far better than fixed predictors, and
+        # still roundtrip bit-exactly
+        sine = 0.6 * np.sin(2 * np.pi * 440 * np.arange(2 * sr) / sr)
+        b_fixed = encode_flac(sine, sr, lpc_order=0)
+        b_lpc = encode_flac(sine, sr, lpc_order=8)
+        assert len(b_lpc) < 0.65 * len(b_fixed)
+        _, got = decode_flac(b_lpc)
+        want = (np.clip(sine, -1, 1) * 32767.0).round() / 32767.0
+        np.testing.assert_allclose(got, want, atol=1e-12)
 
     def test_corrupt_payload_quarantined_not_fatal(self, spark):
         """A truncated JPEG (FFD8 magic, garbage body) must not kill the
