@@ -383,10 +383,15 @@ def connected_components(
     round is two shuffles on node id — the same key end to end, so AQE
     reuses the partitioning.
     """
+    # checkpoint edges FIRST, then derive labels from the checkpointed
+    # edges: deriving labels from the raw plan would execute the whole
+    # upstream pair pipeline (LSH joins, Jaccard verification, winnowing)
+    # a second time — measured 2× the operator's wall on a 20k-doc corpus
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("u").alias("node"))
@@ -394,7 +399,6 @@ def connected_components(
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint(eager=True)
     )
-    edges = edges.localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.v == labels.node)
