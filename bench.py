@@ -246,8 +246,13 @@ def _ensure_scale_arrays(spark) -> str:
 
 
 SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "20000"))
+# cache path keyed by the doc count: changing SPARK_GRAFT_SCALE_DOCS
+# must not silently reuse a corpus of a different size (which would
+# also corrupt the docs/sec denominator)
 SCALE_DOCS_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "_data", "scale_docs.parquet"
+    os.path.dirname(os.path.abspath(__file__)),
+    "_data",
+    f"scale_docs_{SCALE_DOCS}.parquet",
 )
 
 
@@ -294,10 +299,6 @@ def _ensure_scale_docs(spark) -> str:
     return SCALE_DOCS_PATH
 
 
-def _scale_doc_count(spark, docs) -> int:
-    return SCALE_DOCS
-
-
 def _scaling_job(spark) -> dict:
     """The measured N-vs-4N job: transcript rollup pipeline + per-conv
     MPX over a fleet of post-rollup-sized series.
@@ -339,7 +340,8 @@ def _scaling_job(spark) -> dict:
         ).count()
         stats["dedup_wall"] = time.time() - t0
         stats["dedup_pairs"] = pairs
-        stats["dedup_docs_per_sec"] = _scale_doc_count(spark, docs) / stats["dedup_wall"]
+        # count the corpus actually read (outside the timed region)
+        stats["dedup_docs_per_sec"] = docs.count() / stats["dedup_wall"]
 
     from go_matrixprofile_spark.operators.profile import (
         cpu_partitions,

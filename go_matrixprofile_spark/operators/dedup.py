@@ -328,7 +328,10 @@ def jaccard_verify_pairs(
     decision hashes identically across engines."""
     sh = shingles(documents, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    cand = pairs.select("a_id", "b_id")
+    # distinct is load-bearing: a duplicated candidate row would join
+    # every shared shingle twice, doubling n_inter against fixed na/nb
+    # and inflating the Jaccard past the threshold (even past 1.0)
+    cand = pairs.select("a_id", "b_id").distinct()
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id")
         .join(sh.select(F.col("doc_id").alias("b_id"), "shingle"), ["b_id", "shingle"])

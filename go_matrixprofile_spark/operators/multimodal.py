@@ -215,6 +215,13 @@ def extract_features(
                         feat = np.asarray(mjpeg_features(buf, dim), dtype=np.float32)
                 except Exception as e:  # noqa: BLE001 — quarantine, don't kill the stage
                     err = f"{type(e).__name__}: {e}"
+                if feat is None and err is None and row.kind == "flac":
+                    # kind explicitly claims FLAC but the magic is absent
+                    # (truncated/corrupt): quarantine, don't silently stub
+                    # (kind='image'/'video' with foreign magic stay on the
+                    # stub path by design — they cover png/mp4-class
+                    # payloads the container cannot decode)
+                    err = "bad magic: kind='flac' payload lacks fLaC signature"
                 if feat is None and err is None and not decode_stub:
                     raise NotImplementedError(
                         "mp3 (and non-AVI video) decode requires ffmpeg, "

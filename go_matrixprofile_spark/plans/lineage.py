@@ -29,9 +29,12 @@ def _lineage_path(root: str) -> str:
 
 
 def _dir_has_data_files(spark: SparkSession, path: str) -> bool:
-    """True iff path exists and contains at least one non-hidden entry
-    (recursing one level into partition dirs). Hadoop FS API, so it works
-    on any Hadoop-compatible filesystem, not just local paths."""
+    """True iff path exists and contains at least one non-hidden FILE,
+    recursing one level into partition directories — a partition dir
+    with no data files inside (a write killed between dir creation and
+    the first part file) must count as empty, or the caller's
+    spark.read.parquet fails schema inference on it. Hadoop FS API, so
+    it works on any Hadoop-compatible filesystem, not just local paths."""
     jvm = spark._jvm
     Path = jvm.org.apache.hadoop.fs.Path
     p = Path(path)
@@ -40,8 +43,13 @@ def _dir_has_data_files(spark: SparkSession, path: str) -> bool:
         return False
     for status in fs.listStatus(p):
         name = status.getPath().getName()
-        if not name.startswith(("_", ".")):
+        if name.startswith(("_", ".")):
+            continue
+        if not status.isDirectory():
             return True
+        for sub in fs.listStatus(status.getPath()):
+            if not sub.getPath().getName().startswith(("_", ".")):
+                return True
     return False
 
 

@@ -86,10 +86,25 @@ def stream_rollup_1m(
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        # writer half of the compact_tier exclusion contract: refuse to
-        # append while a compaction holds the intent marker — appends
-        # racing the compactor's dir swap would be silently dropped
-        _check_not_compacting(batch_df.sparkSession, output_dir)
+        # writer half of the compact_tier exclusion contract (two-sided,
+        # Dekker-style — see _writer_marker): announce the in-flight
+        # write FIRST, then check for a compactor; the compactor does
+        # the mirror image (acquire intent, then check for writers), so
+        # under create/list consistency at most one side proceeds. A
+        # batch aborted here is retried by the stream from its
+        # checkpoint; a duplicate append from a retry is harmless —
+        # read_tier keeps one row per key by batch_id.
+        spark_b = batch_df.sparkSession
+        fs, Path = _fs(spark_b, output_dir)
+        wmarker = Path(_writer_marker(output_dir, batch_id))
+        fs.createNewFile(wmarker)
+        try:
+            _check_not_compacting(spark_b, output_dir)
+            _do_append(batch_df, batch_id)
+        finally:
+            fs.delete(wmarker, False)
+
+    def _do_append(batch_df: DataFrame, batch_id: int) -> None:
         # MERGE semantics on plain parquet: each micro-batch appends its
         # (conv, metric, bucket) rows stamped with batch_id; a late turn
         # re-emits its window in a later batch, and ``read_tier`` keeps only
@@ -191,22 +206,57 @@ def _compact_marker(tier_dir: str) -> str:
     return tier_dir.rstrip("/") + ".compacting"
 
 
+def _writer_marker(tier_dir: str, batch_id: int) -> str:
+    return tier_dir.rstrip("/") + f".writing.{batch_id}"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, Path
+
+
 def _check_not_compacting(spark: SparkSession, tier_dir: str) -> None:
     """Raise if a compaction currently holds the tier's intent marker.
 
     The compact_tier ↔ writer exclusion used to be a prose contract
-    ("never concurrently with the writer"); the marker makes misuse fail
-    loudly instead of corrupting the tier (r03 verdict nit #3)."""
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
+    ("never concurrently with the writer"); the markers make misuse fail
+    loudly instead of corrupting the tier (r03 verdict nit #3). The
+    protocol is two-sided: a writer creates its `.writing.<batch>`
+    marker BEFORE this check, and the compactor creates `.compacting`
+    before scanning for writer markers — so whichever side's create
+    lands second is guaranteed to see the other and abort (sound on
+    filesystems with atomic create + consistent listing, i.e. HDFS and
+    local; an S3-class object store needs a real lock service or an
+    Iceberg commit protocol instead — same caveat as every
+    rename-based recipe in this module)."""
+    fs, Path = _fs(spark, tier_dir)
     marker = Path(_compact_marker(tier_dir))
-    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(marker):
         raise RuntimeError(
             f"tier {tier_dir} is being compacted ({_compact_marker(tier_dir)} "
             "exists); writers must wait or the compaction crashed — remove "
             "the marker after verifying no compactor is running"
         )
+
+
+def _check_no_writers(spark: SparkSession, tier_dir: str) -> None:
+    """Compactor half: raise if any writer's in-flight marker exists."""
+    import os as _os
+
+    fs, Path = _fs(spark, tier_dir)
+    base = tier_dir.rstrip("/")
+    parent = Path(_os.path.dirname(base) or ".")
+    prefix = _os.path.basename(base) + ".writing."
+    if fs.exists(parent):
+        for status in fs.listStatus(parent):
+            if status.getPath().getName().startswith(prefix):
+                raise RuntimeError(
+                    f"compact_tier: writer marker {status.getPath()} exists — "
+                    "a micro-batch append is in flight (or crashed; remove "
+                    "the marker after verifying no writer is running)"
+                )
 
 
 def compact_tier(spark: SparkSession, tier_dir: str) -> None:
@@ -226,19 +276,17 @@ def compact_tier(spark: SparkSession, tier_dir: str) -> None:
     rewrite_data_files commit.
 
     Writer exclusion is ENFORCED, not prose: an intent marker
-    (``<tier>.compacting``) is acquired first — atomically, via
-    createNewFile — held through the swap, and released last. The
-    streaming upsert refuses to append while the marker exists, and a
-    second concurrent compactor fails to acquire it.
+    (``<tier>.compacting``) is acquired first (createNewFile — atomic on
+    HDFS/local; see _check_not_compacting for the object-store caveat),
+    then in-flight writer markers are scanned — the mirror image of the
+    writer's announce-then-check, so a racing writer and compactor
+    cannot both proceed. The marker is held through the swap and
+    released last; a second concurrent compactor fails to acquire it.
     """
     base = tier_dir.rstrip("/")
     tmp, old = base + ".compact", base + ".old"
 
-    jvm = spark._jvm
-    jsc = spark._jsc
-    conf = jsc.hadoopConfiguration()
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(base).getFileSystem(conf)
+    fs, Path = _fs(spark, base)
     marker = Path(_compact_marker(tier_dir))
     # atomic acquire: createNewFile returns False if it already exists
     if not fs.createNewFile(marker):
@@ -246,6 +294,7 @@ def compact_tier(spark: SparkSession, tier_dir: str) -> None:
             f"compact_tier: another compaction holds {_compact_marker(tier_dir)}"
         )
     try:
+        _check_no_writers(spark, tier_dir)
         live = read_tier(spark, tier_dir).withColumn(
             "batch_id", F.lit(-1).cast("long")
         )
