@@ -21,6 +21,7 @@ the composition adds no shuffle beyond its inputs' own.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 
 def build_corpus(
@@ -49,3 +50,78 @@ def build_corpus(
         .join(tokens, "doc_id")
         .select("doc_id", "n_bpe_tokens", "quality")
     )
+
+
+PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("seq_id", T.LongType(), False),
+        T.StructField("seq_offset", T.LongType(), False),
+    ]
+)
+
+
+def pack_sequences(
+    corpus: DataFrame,
+    budget: int = 2048,
+    n_buckets: int = 256,
+    token_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Greedy sequence packing for pretraining: assign every document a
+    (seq_id, seq_offset) inside fixed token-budget training sequences.
+
+    Packing is inherently sequential (each placement depends on the
+    running fill), so the parallel unit is a SALTED BUCKET:
+    doc_id % n_buckets routes each document to one of n_buckets
+    independent packing streams, each stream packs its documents in
+    doc_id order with the standard greedy rule (close the current
+    sequence when the next doc would overflow; a doc larger than the
+    budget gets its own sequence, to be split downstream), and seq_ids
+    are made globally unique as bucket·2⁴⁰ + local index. One shuffle
+    on the bucket key, one Arrow-batched pass per bucket — at 100 TB
+    the knob is n_buckets (≥ cluster cores; ordering inside a bucket
+    stays deterministic by doc_id regardless of parallelism).
+
+    Input: any DataFrame with (doc_id, token_col) — typically
+    build_corpus. Output: PACK_SCHEMA; every input doc appears exactly
+    once, and SUM(n_tokens) GROUP BY seq_id ≤ budget except single
+    oversized docs.
+    """
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        bucket = int(pdf["bucket"].iloc[0])
+        seqs, offs = [], []
+        seq, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                seq += 1
+                fill = 0
+            seqs.append(seq)
+            offs.append(fill)
+            fill += n
+            if fill >= budget:
+                seq += 1
+                fill = 0
+        base = bucket << 40
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+                "bucket": bucket,
+                "seq_id": [base + s for s in seqs],
+                "seq_offset": offs,
+            }
+        )
+
+    staged = corpus.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % n_buckets).cast("int").alias("bucket"),
+    )
+    return staged.groupBy("bucket").applyInPandas(pack, PACK_SCHEMA)

@@ -1,0 +1,78 @@
+"""Corpus materialization + sequence packing tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestPackSequences:
+    def _reference_pack(self, items, budget):
+        """Pure-Python greedy packer (the spec)."""
+        out = {}
+        seq, fill = 0, 0
+        for doc_id, n in items:
+            if fill > 0 and fill + n > budget:
+                seq += 1
+                fill = 0
+            out[doc_id] = (seq, fill)
+            fill += n
+            if fill >= budget:
+                seq += 1
+                fill = 0
+        return out
+
+    def test_matches_reference_and_respects_budget(self, spark):
+        from go_matrixprofile_spark.operators.corpus import pack_sequences
+
+        rng = np.random.default_rng(41)
+        n = 500
+        budget = 512
+        toks = rng.integers(10, 300, n)
+        toks[17] = 900  # oversized doc: gets its own sequence
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(n), "n_bpe_tokens": toks})
+        )
+        got = (
+            pack_sequences(corpus, budget=budget, n_buckets=8)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        # every doc exactly once
+        assert sorted(got["doc_id"]) == list(range(n))
+        # per-bucket greedy equals the reference packer
+        for b in range(8):
+            items = [(i, int(toks[i])) for i in range(n) if i % 8 == b]
+            want = self._reference_pack(items, budget)
+            sub = got[got["bucket"] == b]
+            for r in sub.itertuples():
+                ws, wo = want[r.doc_id]
+                assert r.seq_id == (b << 40) + ws, r
+                assert r.seq_offset == wo, r
+        # budget respected except single oversized docs
+        per_seq = got.groupby("seq_id").agg(
+            total=("n_tokens", "sum"), cnt=("n_tokens", "count")
+        )
+        over = per_seq[per_seq["total"] > budget]
+        assert (over["cnt"] == 1).all()
+        # determinism under a different input partitioning
+        again = (
+            pack_sequences(corpus.repartition(13), budget=budget, n_buckets=8)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        assert (got["seq_id"].to_numpy() == again["seq_id"].to_numpy()).all()
+        assert (got["seq_offset"].to_numpy() == again["seq_offset"].to_numpy()).all()
+
+    def test_composes_with_build_corpus(self, spark):
+        from go_matrixprofile_spark.operators.corpus import (
+            build_corpus,
+            pack_sequences,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        corpus = build_corpus(docs)
+        packed = pack_sequences(corpus, budget=256, n_buckets=4)
+        got = packed.toPandas()
+        assert len(got) == corpus.count()
+        assert (got["seq_offset"] < 256).all() | (got["n_tokens"] > 256).any()
