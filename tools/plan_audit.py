@@ -289,6 +289,26 @@ def main() -> int:
         must_not=["CartesianProduct"],
     )
 
+    # 9g. sequence packing: exactly ONE exchange (the bucket shuffle)
+    #     feeding one Arrow-batched group pass — packing adds no
+    #     shuffle beyond routing docs to their bucket streams
+    from go_matrixprofile_spark.operators.corpus import pack_sequences
+
+    toy_corpus = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 10).alias("n_bpe_tokens")
+    )
+    p = plan_of(pack_sequences(toy_corpus, budget=512, n_buckets=16))
+    checks.append(
+        (
+            "pack_sequences: single bucket shuffle + one Arrow group pass",
+            p,
+            [
+                ("exactly one exchange", p.count("Exchange") == 2),
+                ("Arrow group apply", "FlatMapGroupsInPandas" in p),
+            ],
+        )
+    )
+
     # 10. repetition stats: both aggregations split partial/final
     #     (gram counts combine map-side before any exchange); keys all
     #     include doc_id so no hot key exists
