@@ -28,14 +28,22 @@ def build_corpus(
     documents: DataFrame,
     min_quality: float = 0.3,
     max_dup_3gram: float = 0.5,
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_bpe_tokens, quality) for every document that survives
     dedup + quality + repetition gating — ``SUM(n_bpe_tokens)`` over
-    this is the training token budget."""
+    this is the training token budget.
+
+    groups: a precomputed ``dedup_groups`` result (e.g. the pipeline's
+    checkpointed doc_dedup_groups stage) — component resolution is the
+    expensive, eagerly-executed part, so a checkpointing caller passes
+    it in rather than recomputing."""
     from .dedup import dedup_groups
     from .text import repetition_stats, text_quality, token_counts_bpe
 
-    keepers = dedup_groups(documents).where("keep").select("doc_id")
+    if groups is None:
+        groups = dedup_groups(documents)
+    keepers = groups.where("keep").select("doc_id")
     quality = text_quality(documents).select("doc_id", "quality")
     rep = repetition_stats(documents).select("doc_id", "dup_3gram_frac")
     tokens = token_counts_bpe(documents).select("doc_id", "n_bpe_tokens")

@@ -154,12 +154,33 @@ def main() -> None:
         # `WHERE keep` on this table is the training corpus
         from go_matrixprofile_spark.operators.dedup import dedup_groups
 
-        stage(
+        groups = stage(
             "doc_dedup_groups",
             lambda: dedup_groups(docs).withColumn(
                 "doc_bucket", (F.col("doc_id") % 64).cast("int")
             ),
             partition_col="doc_bucket",
+        )
+        # materialize the training corpus (survivors ∧ quality ∧
+        # repetition, with real BPE token counts) reusing the
+        # checkpointed groups, then pack it into fixed-token-budget
+        # sequences — the pipeline's deliverable
+        from go_matrixprofile_spark.operators.corpus import (
+            build_corpus,
+            pack_sequences,
+        )
+
+        corpus = stage(
+            "doc_corpus",
+            build_corpus(docs, groups=groups).withColumn(
+                "doc_bucket", (F.col("doc_id") % 64).cast("int")
+            ),
+            partition_col="doc_bucket",
+        )
+        stage(
+            "doc_packed",
+            pack_sequences(corpus.drop("doc_bucket"), budget=2048),
+            partition_col="bucket",
         )
 
     metrics["total_sec"] = round(time.time() - t_start, 2)
