@@ -153,6 +153,32 @@ def q_sessionize(spark, sf_dir):
     return S.sessionize(_transcripts(spark, sf_dir), 1800.0)
 
 
+def q_asof_turn_hourly(spark, sf_dir):
+    """ORACLE-CHECKED as-of join (vs DuckDB's NATIVE ASOF JOIN): stamp
+    every turn with the most recent COMPLETED hourly turn-rate bucket
+    (bucket close <= turn time; first-hour turns get NULL). Union +
+    running last() per conv — one shuffle, no range-join blowup."""
+    from go_matrixprofile_spark.operators.asof import asof_join
+
+    t = _transcripts(spark, sf_dir)
+    rate = S.turn_rate_series(t, 3600).select(
+        "conv_id",
+        (F.col("bucket_s") + 3600).alias("bucket_close"),
+        "value",
+    )
+    lhs = t.select("conv_id", "turn_idx", S.ts_seconds().alias("ts_s"))
+    out = asof_join(
+        lhs, rate, by=["conv_id"], left_on="ts_s", right_on="bucket_close",
+        value_cols=["value"],
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.round("value", 4).alias("prev_hour_rate"),
+        F.col("asof_bucket_close").cast("bigint").alias("asof_bucket_close"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _documents(spark, sf_dir)
     return d.groupBy(F.md5("text").alias("text_hash")).agg(
@@ -900,10 +926,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": q_gapfill_locf,
         "gapfill_interp": q_gapfill_interp,
         "sessionize": q_sessionize,
+        "asof_turn_hourly": q_asof_turn_hourly,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
+        # (dedup_simhash swapped out for asof_turn_hourly at the 50-row
+        # gate: the signature aggregation stays value-checked inside
+        # dedup_simhash_pairs, whose oracle re-derives the signatures)
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_quality": q_text_quality,
         # token_counts (regex count) upgraded to the real-BPE variant in
@@ -1387,24 +1416,6 @@ SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 """,
-        "dedup_simhash": """
-WITH toks AS (
-  SELECT doc_id, tok FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
-    FROM documents
-  ) WHERE length(tok) > 0
-),
-h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
-bits AS (
-  SELECT doc_id, CAST(b.i AS INT) AS bit, SUM(((hv >> CAST(b.i AS INT)) & 1) * 2 - 1) AS s
-  FROM h, generate_series(0, 15) b(i)
-  GROUP BY 1, 2
-)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-            AS BIGINT) AS simhash
-FROM bits GROUP BY 1
-""",
         "dedup_simhash_pairs": """
 WITH toks AS (
   SELECT doc_id, tok FROM (
@@ -1447,6 +1458,21 @@ FROM documents
         "winnow_fingerprints": f"""
 WITH {_WINNOW_FPS}
 SELECT doc_id, fp FROM fps
+""",
+        "asof_turn_hourly": f"""
+WITH {_T},
+rate AS (
+  SELECT conv_id, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+         CAST(COUNT(*) AS DOUBLE) AS value
+  FROM transcripts GROUP BY 1, 2
+),
+l AS (SELECT conv_id, turn_idx, epoch(ts) AS ts_s FROM transcripts),
+r AS (SELECT conv_id, bucket_s + 3600 AS bucket_close, value FROM rate)
+SELECT l.conv_id, l.turn_idx,
+       ROUND(r.value, 4) AS prev_hour_rate,
+       CAST(r.bucket_close AS BIGINT) AS asof_bucket_close
+FROM l ASOF LEFT JOIN r
+  ON l.conv_id = r.conv_id AND l.ts_s >= r.bucket_close
 """,
         "dedup_groups": _DEDUP_GROUPS_SQL,
         "corpus_build": f"""

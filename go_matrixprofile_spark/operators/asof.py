@@ -1,0 +1,84 @@
+"""As-of join: annotate each left row with the most recent right row.
+
+The classic time-series join (TimescaleDB/kdb/pandas `merge_asof`;
+DuckDB ships it natively as ``ASOF JOIN``, which is what the oracle
+uses): for every left row, attach the right row with the greatest
+timestamp ≤ the left timestamp within the same key — e.g. stamp every
+transcript turn with the last completed hourly rollup bucket.
+
+Spark-first implementation without a range join or UDF: tag and UNION
+the two sides, then one ``last(value, ignorenulls=True)`` running
+window per key ordered by (timestamp, side) — right rows sort before
+left rows at equal timestamps, giving backward-INCLUSIVE semantics
+(``l.ts >= r.ts``), and the window is rows-unbounded-preceding so each
+partition is one linear pass. Plan shape at scale: ONE shuffle on the
+key (the same (conv_id, …) partitioning every other per-conversation
+stage uses) and one sort — no N×M range-join blowup, no per-row
+Python. Skew note: a mega-thread key funnels its rows through one task
+like every per-key window; upstream salting/bucketing applies as
+usual.
+
+Right rows are assumed unique per (key, timestamp) — true for rollup
+tiers by construction; with duplicates the last in (timestamp, input
+order) wins, which is not deterministic across partitionings, so
+de-duplicate first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_on: str,
+    right_on: str,
+    value_cols: list[str],
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join.
+
+    Returns every left row with `value_cols` (and ``asof_<right_on>``,
+    the matched right timestamp) attached from the most recent right
+    row with right_on <= left_on per `by` key; NULLs when no right row
+    precedes (or, with `tolerance`, when the match is older than
+    left_on - tolerance).
+    """
+    from pyspark.sql.window import Window
+
+    payload = F.struct(
+        *[F.col(c) for c in value_cols],
+        F.col(right_on).cast("double").alias("_rt"),
+    )
+    r = right.select(
+        *by,
+        F.col(right_on).cast("double").alias("_t"),
+        payload.alias("_r"),
+        F.lit(0).alias("_side"),
+    )
+    l = (
+        left.withColumn("_t", F.col(left_on).cast("double"))
+        .withColumn("_r", F.lit(None).cast(r.schema["_r"].dataType))
+        .withColumn("_side", F.lit(1))
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = u.withColumn("_last", F.last("_r", ignorenulls=True).over(w))
+    matched = F.col("_last")
+    if tolerance is not None:
+        matched = F.when(
+            F.col("_t") - F.col("_last._rt") <= float(tolerance), F.col("_last")
+        )
+    out = u.where("_side = 1")
+    cols = [c for c in left.columns]
+    return out.select(
+        *cols,
+        *[matched[c].alias(c) for c in value_cols],
+        matched["_rt"].alias(f"asof_{right_on}"),
+    )

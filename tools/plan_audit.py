@@ -309,6 +309,16 @@ def main() -> int:
         )
     )
 
+    # 9h. as-of join: union + one running window per key — NO join
+    #     operator at all (the range-join formulation would blow up
+    #     N×M per key), one shuffle on the key
+    check(
+        "asof_turn_hourly: union + running window, no join",
+        qs["asof_turn_hourly"](spark, sf_dir),
+        must=["Union", "Window", "hashpartitioning"],
+        must_not=["Join", "CartesianProduct"],
+    )
+
     # 10. repetition stats: both aggregations split partial/final
     #     (gram counts combine map-side before any exchange); keys all
     #     include doc_id so no hot key exists
