@@ -37,16 +37,22 @@ def asof_join(
     right_on: str,
     value_cols: list[str],
     tolerance: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join.
+    """Inclusive as-of join, backward (default) or forward.
 
     Returns every left row with `value_cols` (and ``asof_<right_on>``,
     the matched right timestamp) attached from the most recent right
-    row with right_on <= left_on per `by` key; NULLs when no right row
-    precedes (or, with `tolerance`, when the match is older than
-    left_on - tolerance).
+    row with right_on <= left_on (backward) or the earliest right row
+    with right_on >= left_on (forward) per `by` key; NULLs when no
+    right row qualifies (or, with `tolerance`, when the match is more
+    than `tolerance` away).
     """
     from pyspark.sql.window import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    fwd = direction == "forward"
 
     payload = F.struct(
         *[F.col(c) for c in value_cols],
@@ -64,17 +70,26 @@ def asof_join(
         .withColumn("_side", F.lit(1))
     )
     u = l.unionByName(r, allowMissingColumns=True)
+    # forward = the same linear pass with the timeline reversed: order
+    # descending and rights still sort before lefts at equal timestamps
+    # (descending side 0 first needs _side DESC? no — at equal _t the
+    # right row must be visible to the left row, i.e. precede it in the
+    # scan order, which ascending _side already gives in both modes)
+    order = [F.col("_t").desc(), F.col("_side").asc()] if fwd else [
+        F.col("_t").asc(), F.col("_side").asc()
+    ]
     w = (
         Window.partitionBy(*by)
-        .orderBy("_t", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     u = u.withColumn("_last", F.last("_r", ignorenulls=True).over(w))
     matched = F.col("_last")
     if tolerance is not None:
-        matched = F.when(
-            F.col("_t") - F.col("_last._rt") <= float(tolerance), F.col("_last")
+        gap = (
+            F.col("_last._rt") - F.col("_t") if fwd else F.col("_t") - F.col("_last._rt")
         )
+        matched = F.when(gap <= float(tolerance), F.col("_last"))
     out = u.where("_side = 1")
     cols = [c for c in left.columns]
     return out.select(

@@ -54,6 +54,31 @@ class TestAsofJoin:
             equal_nan=True,
         )
 
+    def test_forward_matches_merge_asof(self, spark):
+        from go_matrixprofile_spark.operators.asof import asof_join
+
+        left, right = self._data(seed=29)
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                by=["k"], left_on="t", right_on="t",
+                value_cols=["v"], direction="forward",
+            )
+            .orderBy("lid")
+            .toPandas()
+        )
+        want = pd.merge_asof(
+            left.sort_values("t"),
+            right.sort_values("t"),
+            on="t", by="k", direction="forward",
+        ).sort_values("lid")
+        np.testing.assert_allclose(
+            got["v"].to_numpy(dtype=float),
+            want["v"].to_numpy(dtype=float),
+            atol=0, equal_nan=True,
+        )
+
     def test_inclusive_ties_and_tolerance(self, spark):
         from go_matrixprofile_spark.operators.asof import asof_join
 
