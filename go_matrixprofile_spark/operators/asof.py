@@ -54,20 +54,43 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
     fwd = direction == "forward"
 
+    # internal columns must not collide with the caller's schema, and the
+    # value columns get re-aliased onto the left schema — both are caller
+    # data, so validate instead of silently producing ambiguous output
+    clash = [c for c in value_cols if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"value_cols {clash} already exist on the left side; "
+            "rename them on one side before the as-of join"
+        )
+    if f"asof_{right_on}" in left.columns:
+        raise ValueError(f"left already has a column named asof_{right_on}")
+    tok = "_asof"
+    while any(
+        c.startswith(tok) for c in (*left.columns, *right.columns, *value_cols)
+    ):
+        tok += "_"
+    c_t, c_r, c_side, c_last, c_rt = (
+        f"{tok}t", f"{tok}r", f"{tok}side", f"{tok}last", f"{tok}rt"
+    )
+
     payload = F.struct(
         *[F.col(c) for c in value_cols],
-        F.col(right_on).cast("double").alias("_rt"),
+        # carry the original right_on value untouched so the output's
+        # asof_<right_on> keeps its exact dataType (the double is only
+        # the internal sort/tolerance key)
+        F.col(right_on).alias(c_rt),
     )
     r = right.select(
         *by,
-        F.col(right_on).cast("double").alias("_t"),
-        payload.alias("_r"),
-        F.lit(0).alias("_side"),
+        F.col(right_on).cast("double").alias(c_t),
+        payload.alias(c_r),
+        F.lit(0).alias(c_side),
     )
     l = (
-        left.withColumn("_t", F.col(left_on).cast("double"))
-        .withColumn("_r", F.lit(None).cast(r.schema["_r"].dataType))
-        .withColumn("_side", F.lit(1))
+        left.withColumn(c_t, F.col(left_on).cast("double"))
+        .withColumn(c_r, F.lit(None).cast(r.schema[c_r].dataType))
+        .withColumn(c_side, F.lit(1))
     )
     u = l.unionByName(r, allowMissingColumns=True)
     # forward = the same linear pass with the timeline reversed: order
@@ -75,25 +98,24 @@ def asof_join(
     # (descending side 0 first needs _side DESC? no — at equal _t the
     # right row must be visible to the left row, i.e. precede it in the
     # scan order, which ascending _side already gives in both modes)
-    order = [F.col("_t").desc(), F.col("_side").asc()] if fwd else [
-        F.col("_t").asc(), F.col("_side").asc()
+    order = [F.col(c_t).desc(), F.col(c_side).asc()] if fwd else [
+        F.col(c_t).asc(), F.col(c_side).asc()
     ]
     w = (
         Window.partitionBy(*by)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    u = u.withColumn("_last", F.last("_r", ignorenulls=True).over(w))
-    matched = F.col("_last")
+    u = u.withColumn(c_last, F.last(c_r, ignorenulls=True).over(w))
+    matched = F.col(c_last)
+    rt_d = F.col(f"{c_last}.{c_rt}").cast("double")
     if tolerance is not None:
-        gap = (
-            F.col("_last._rt") - F.col("_t") if fwd else F.col("_t") - F.col("_last._rt")
-        )
-        matched = F.when(gap <= float(tolerance), F.col("_last"))
-    out = u.where("_side = 1")
+        gap = rt_d - F.col(c_t) if fwd else F.col(c_t) - rt_d
+        matched = F.when(gap <= float(tolerance), F.col(c_last))
+    out = u.where(F.col(c_side) == 1)
     cols = [c for c in left.columns]
     return out.select(
         *cols,
         *[matched[c].alias(c) for c in value_cols],
-        matched["_rt"].alias(f"asof_{right_on}"),
+        matched[c_rt].alias(f"asof_{right_on}"),
     )

@@ -130,6 +130,9 @@ def pack_sequences(
     staged = corpus.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col(token_col).cast("long").alias("n_tokens"),
-        (F.col("doc_id") % n_buckets).cast("int").alias("bucket"),
+        # pmod, not %: Spark's % is sign-preserving, so hash-derived
+        # negative doc_ids would mint negative buckets (and negative
+        # seq_id bases) and silently double the bucket count
+        F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
     return staged.groupBy("bucket").applyInPandas(pack, PACK_SCHEMA)

@@ -97,7 +97,16 @@ def stream_rollup_1m(
         spark_b = batch_df.sparkSession
         fs, Path = _fs(spark_b, output_dir)
         wmarker = Path(_writer_marker(output_dir, batch_id))
-        fs.createNewFile(wmarker)
+        if not fs.createNewFile(wmarker):
+            # a stale marker from a crashed writer with the same batch_id:
+            # adopting it (and deleting it in the finally) would release
+            # the compactor exclusion earlier than the protocol intends —
+            # surface it so the operator (or the stream retry) cleans up
+            raise RuntimeError(
+                f"stale writer marker {wmarker} already exists; a previous "
+                "writer for this batch crashed without cleanup — remove the "
+                "marker (after confirming no writer is live) and retry"
+            )
         try:
             _check_not_compacting(spark_b, output_dir)
             _do_append(batch_df, batch_id)

@@ -65,6 +65,11 @@ def main() -> None:
     else:
         raise SystemExit("--input dir missing and --gen-convs not given")
 
+    # ONE input-version tag shared by the thunk-stage committed probe and
+    # checkpoint_stage itself: divergent values would make resume either
+    # replay or wrongly skip the eager stages
+    input_version = "v0"
+
     def stage(name, df, partition_col="conv_id"):
         from pyspark.sql import functions as F
 
@@ -82,7 +87,8 @@ def main() -> None:
             committed = (
                 lin is not None
                 and lin.where(
-                    (F.col("stage") == name) & (F.col("input_version") == "v0")
+                    (F.col("stage") == name)
+                    & (F.col("input_version") == input_version)
                 )
                 .limit(1)
                 .count()
@@ -94,7 +100,10 @@ def main() -> None:
                 metrics[f"{name}_rows"] = out.count()
                 return out
             df = df()
-        out = checkpoint_stage(df, args.output, name, partition_col=partition_col)
+        out = checkpoint_stage(
+            df, args.output, name,
+            partition_col=partition_col, input_version=input_version,
+        )
         n = out.count()
         metrics[name] = round(time.time() - t0, 2)
         metrics[f"{name}_rows"] = n
