@@ -290,6 +290,20 @@ def q_corpus_build(spark, sf_dir):
     return build_corpus(_documents(spark, sf_dir))
 
 
+def q_split_documents(spark, sf_dir):
+    """ORACLE-CHECKED oversized-document splitting: chunk every doc
+    whose real-BPE token count exceeds the packing budget into
+    budget-sized pieces (full chunks + remainder), so the sequence
+    packer's SUM(n_tokens) <= budget invariant holds with no exception
+    class. Pure sequence+explode arithmetic — no shuffle."""
+    from go_matrixprofile_spark.operators.corpus import split_documents
+
+    tok = TX.token_counts_bpe(_documents(spark, sf_dir)).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    return split_documents(tok, budget=64)
+
+
 def q_quality_repetition(spark, sf_dir):
     """ORACLE-CHECKED Gopher-style repetition signals (Rae et al. 2021):
     top-/duplicate-n-gram occurrence fractions for n=1..3 per doc — the
@@ -944,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "dedup_groups": q_dedup_groups,
         "corpus_build": q_corpus_build,
+        "split_documents": q_split_documents,
         "quality_repetition": q_quality_repetition,
         "knn_brute_cosine": q_knn_brute_cosine,
         "knn_lsh_cosine": q_knn_lsh_cosine,
@@ -985,7 +1000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-checked by pmp_oracle; kmp_event_types keeps a
         # multi-profile full-scale row)
         "mp_event_rate": q_mp_event_rate,
-        "kmp_event_types": q_kmp_event_types,
+        # (kmp_event_types dropped for the 50-row gate when
+        # split_documents joined the value-checked block: the KMP family
+        # is value-checked by kmp_oracle and the function stays
+        # importable for ad-hoc full-scale runs)
         # (mp_ab_join dropped for the 50-row gate when knn_pq_adc joined
         # the value-checked block: the AB path is doubly value-checked by
         # mp_ab_oracle AND mp_ab_chunked_oracle; mpdist_pairs dropped
@@ -1502,6 +1520,20 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= 5
+""",
+        "split_documents": f"""
+WITH tok AS ({_TOKEN_BPE_SQL}),
+chunks AS (
+  SELECT doc_id, n_bpe_tokens,
+         CAST(unnest(generate_series(
+           0, CAST(greatest(ceil(n_bpe_tokens / 64.0), 1) AS BIGINT) - 1
+         )) AS INT) AS chunk_idx
+  FROM tok
+)
+SELECT doc_id, chunk_idx,
+       CAST(least(64, n_bpe_tokens - chunk_idx * CAST(64 AS BIGINT)) AS BIGINT)
+         AS n_tokens
+FROM chunks
 """,
         "quality_repetition": _REPETITION_SQL,
         "mp_stomp_oracle": f"""

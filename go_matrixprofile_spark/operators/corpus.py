@@ -60,6 +60,59 @@ def build_corpus(
     )
 
 
+def split_documents(
+    corpus: DataFrame,
+    budget: int = 2048,
+    token_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Chunk every document whose token count exceeds `budget` into
+    budget-sized pieces, so the downstream packer's invariant
+    (SUM(n_tokens) per sequence <= budget) holds for EVERY sequence —
+    pack_sequences otherwise hands an oversized doc its own overflowing
+    sequence with nothing to split it.
+
+    Pure token arithmetic on the corpus accounting table (doc_id,
+    token_col): a doc with n tokens becomes ceil(n/budget) chunks —
+    full `budget` tokens each, the remainder in the last chunk (the
+    standard pretraining chunking: fill whole training windows, one
+    short tail). A doc with n <= budget passes through as its single
+    chunk 0, so the output is a drop-in superset key (doc_id,
+    chunk_idx) for pack_sequences(chunk_col="chunk_idx").
+
+    Plan shape: one `sequence` + `explode` projection — no shuffle, no
+    Python per row, trivially scales (the fan-out per row is
+    ceil(n/budget), bounded by the longest document). The actual text
+    slicing happens wherever the tokens materialize downstream;
+    char-proportional boundaries follow from the chunk token counts.
+
+    Output: (doc_id, chunk_idx, n_tokens) with
+    SUM(n_tokens) GROUP BY doc_id == the input token count (token
+    conservation) and every n_tokens <= budget.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n = F.col(token_col).cast("long")
+    # ceil(n/budget) chunks; degenerate empty docs keep one 0-token chunk
+    n_chunks = F.greatest(F.floor((n + budget - 1) / budget), F.lit(1))
+    return (
+        corpus.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            n.alias("_n"),
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.least(
+                F.lit(budget).cast("long"),
+                F.col("_n") - F.col("chunk_idx").cast("long") * budget,
+            ).alias("n_tokens"),
+        )
+    )
+
+
 PACK_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -70,12 +123,31 @@ PACK_SCHEMA = T.StructType(
     ]
 )
 
+PACK_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("seq_id", T.LongType(), False),
+        T.StructField("seq_offset", T.LongType(), False),
+    ]
+)
+
+
+# max rows a single packing task should hold in memory when the caller
+# doesn't size n_buckets: ~5M (doc_id, n_tokens) rows ≈ tens of MB of
+# Arrow — far under executor memory, large enough that small corpora
+# stay at the 256-bucket floor
+_PACK_ROWS_PER_BUCKET = 5_000_000
+
 
 def pack_sequences(
     corpus: DataFrame,
     budget: int = 2048,
-    n_buckets: int = 256,
+    n_buckets: int | None = 256,
     token_col: str = "n_bpe_tokens",
+    chunk_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequence packing for pretraining: assign every document a
     (seq_id, seq_offset) inside fixed token-budget training sequences.
@@ -95,13 +167,27 @@ def pack_sequences(
     Input: any DataFrame with (doc_id, token_col) — typically
     build_corpus. Output: PACK_SCHEMA; every input doc appears exactly
     once, and SUM(n_tokens) GROUP BY seq_id ≤ budget except single
-    oversized docs.
+    oversized docs. Feed split_documents output (chunk_col="chunk_idx",
+    every chunk ≤ budget by construction) to make the invariant hold
+    with NO exception class; chunks of one doc share a bucket and pack
+    adjacently in (doc_id, chunk_idx) order, so a split doc's pieces
+    stay contiguous in the sequence stream.
     """
+    if n_buckets is None:
+        # derive from corpus size so one bucket's Arrow batch is bounded
+        # no matter the caller's scale (a fixed default would OOM a task
+        # at 100-TB row counts); costs one count() — pass n_buckets
+        # explicitly to skip the extra job
+        rows = corpus.count()
+        n_buckets = max(256, -(-rows // _PACK_ROWS_PER_BUCKET))
+    chunked = chunk_col is not None
+    sort_cols = ["doc_id", "chunk_idx"] if chunked else ["doc_id"]
+    schema = PACK_CHUNK_SCHEMA if chunked else PACK_SCHEMA
 
     def pack(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values("doc_id")
+        pdf = pdf.sort_values(sort_cols)
         bucket = int(pdf["bucket"].iloc[0])
         seqs, offs = [], []
         seq, fill = 0, 0
@@ -117,22 +203,28 @@ def pack_sequences(
                 seq += 1
                 fill = 0
         base = bucket << 40
-        return pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].to_numpy(),
-                "n_tokens": pdf["n_tokens"].to_numpy(),
-                "bucket": bucket,
-                "seq_id": [base + s for s in seqs],
-                "seq_offset": offs,
-            }
+        out = {"doc_id": pdf["doc_id"].to_numpy()}
+        if chunked:
+            out["chunk_idx"] = pdf["chunk_idx"].to_numpy()
+        out.update(
+            n_tokens=pdf["n_tokens"].to_numpy(),
+            bucket=bucket,
+            seq_id=[base + s for s in seqs],
+            seq_offset=offs,
         )
+        return pd.DataFrame(out)
 
     staged = corpus.select(
         F.col("doc_id").cast("long").alias("doc_id"),
+        *(
+            [F.col(chunk_col).cast("int").alias("chunk_idx")]
+            if chunked
+            else []
+        ),
         F.col(token_col).cast("long").alias("n_tokens"),
         # pmod, not %: Spark's % is sign-preserving, so hash-derived
         # negative doc_ids would mint negative buckets (and negative
         # seq_id bases) and silently double the bucket count
         F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
-    return staged.groupBy("bucket").applyInPandas(pack, PACK_SCHEMA)
+    return staged.groupBy("bucket").applyInPandas(pack, schema)

@@ -172,11 +172,14 @@ def main() -> None:
         )
         # materialize the training corpus (survivors ∧ quality ∧
         # repetition, with real BPE token counts) reusing the
-        # checkpointed groups, then pack it into fixed-token-budget
-        # sequences — the pipeline's deliverable
+        # checkpointed groups, split oversized docs to the packing
+        # budget, then pack into fixed-token-budget sequences — the
+        # pipeline's deliverable, with SUM(n_tokens) <= budget holding
+        # for EVERY sequence (no oversized-doc exception)
         from go_matrixprofile_spark.operators.corpus import (
             build_corpus,
             pack_sequences,
+            split_documents,
         )
 
         corpus = stage(
@@ -186,9 +189,13 @@ def main() -> None:
             ),
             partition_col="doc_bucket",
         )
+        chunks = split_documents(corpus.drop("doc_bucket"), budget=2048)
         stage(
             "doc_packed",
-            pack_sequences(corpus.drop("doc_bucket"), budget=2048),
+            pack_sequences(
+                chunks, budget=2048, token_col="n_tokens",
+                chunk_col="chunk_idx",
+            ),
             partition_col="bucket",
         )
 

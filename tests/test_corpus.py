@@ -64,6 +64,61 @@ class TestPackSequences:
         assert (got["seq_id"].to_numpy() == again["seq_id"].to_numpy()).all()
         assert (got["seq_offset"].to_numpy() == again["seq_offset"].to_numpy()).all()
 
+    def test_split_documents_arithmetic(self, spark):
+        from go_matrixprofile_spark.operators.corpus import split_documents
+
+        ns = [0, 1, 63, 64, 65, 128, 129, 500, 900]
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(ns)), "n_bpe_tokens": ns})
+        )
+        got = (
+            split_documents(corpus, budget=64)
+            .orderBy("doc_id", "chunk_idx")
+            .toPandas()
+        )
+        for d, n in enumerate(ns):
+            sub = got[got["doc_id"] == d]
+            want_chunks = max(-(-n // 64), 1)
+            assert list(sub["chunk_idx"]) == list(range(want_chunks)), (d, n)
+            # token conservation + every chunk inside the budget
+            assert sub["n_tokens"].sum() == n
+            assert (sub["n_tokens"] <= 64).all()
+            # full chunks first, remainder last
+            if want_chunks > 1:
+                assert (sub["n_tokens"].iloc[:-1] == 64).all()
+
+    def test_split_then_pack_budget_holds_everywhere(self, spark):
+        from go_matrixprofile_spark.operators.corpus import (
+            pack_sequences,
+            split_documents,
+        )
+
+        rng = np.random.default_rng(43)
+        n, budget = 400, 512
+        toks = rng.integers(10, 300, n)
+        toks[7] = 900       # oversized: must be split, not overflow
+        toks[123] = 2000    # very oversized: 4 chunks
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(n), "n_bpe_tokens": toks})
+        )
+        chunks = split_documents(corpus, budget=budget)
+        packed = pack_sequences(
+            chunks, budget=budget, n_buckets=8,
+            token_col="n_tokens", chunk_col="chunk_idx",
+        )
+        got = packed.orderBy("doc_id", "chunk_idx").toPandas()
+        # the packer invariant holds for EVERY sequence — no exception
+        # class once the splitter runs upstream
+        per_seq = got.groupby("seq_id")["n_tokens"].sum()
+        assert (per_seq <= budget).all()
+        # token conservation end to end
+        per_doc = got.groupby("doc_id")["n_tokens"].sum()
+        assert (per_doc.to_numpy() == toks).all()
+        # a split doc's chunks pack contiguously in chunk order
+        d7 = got[got["doc_id"] == 7].sort_values("chunk_idx")
+        keys = list(zip(d7["seq_id"], d7["seq_offset"]))
+        assert keys == sorted(keys)
+
     def test_composes_with_build_corpus(self, spark):
         from go_matrixprofile_spark.operators.corpus import (
             build_corpus,
