@@ -225,6 +225,21 @@ def q_token_counts_bpe(spark, sf_dir):
     return TX.token_counts_bpe(_documents(spark, sf_dir))
 
 
+def q_token_counts_bpe_corpus(spark, sf_dir):
+    """ORACLE-CHECKED corpus-learned BPE: the merges table is trained
+    DISTRIBUTED over the actual documents table (iterative Spark pair
+    counting, operators/bpe_train.py) and applied as the usual JVM
+    replace chain; the oracle trains the same 48 merges with the
+    pure-Python reference trainer over the same parquet and applies the
+    identical chain in DuckDB — training and application both
+    cross-checked."""
+    from go_matrixprofile_spark.operators.bpe_train import train_bpe_distributed
+
+    docs = _documents(spark, sf_dir)
+    merges = train_bpe_distributed(docs, 48)
+    return TX.token_counts_bpe(docs, merges=merges)
+
+
 def q_lang_id(spark, sf_dir):
     """ORACLE-CHECKED character-trigram language ID (Cavnar–Trenkle
     rank profiles over 4 languages; out-of-place distance, integer
@@ -952,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token_counts (regex count) upgraded to the real-BPE variant in
         # r4; the plain projection stays importable as q_token_counts
         "token_counts_bpe": q_token_counts_bpe,
+        "token_counts_bpe_corpus": q_token_counts_bpe_corpus,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1009,7 +1025,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mp_ab_oracle AND mp_ab_chunked_oracle; mpdist_pairs dropped
         # when knn_pq_adc_refined joined — MPDist is value-checked by
         # mpdist_oracle)
-        "mp_transcript_corpus": q_mp_transcript_corpus,
+        # (mp_transcript_corpus dropped for the 50-row gate when
+        # token_counts_bpe_corpus joined the value-checked block: the
+        # datagen→rollup→MPX showcase stays importable and
+        # jobs/run_pipeline.py --gen-convs drives the same chain
+        # end-to-end every round)
     }
 
 
@@ -1468,6 +1488,7 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """,
         "text_quality": _TEXT_QUALITY_SQL,
         "token_counts_bpe": _TOKEN_BPE_SQL,
+        "token_counts_bpe_corpus": _token_bpe_corpus_sql(),
         "lang_id": _LANG_ID_SQL,
         "doc_fingerprint": r"""
 SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
@@ -2196,18 +2217,22 @@ FROM documents d LEFT JOIN best b USING (doc_id)
 _LANG_ID_SQL = _lang_id_sql()
 
 
-def _token_bpe_sql() -> str:
+def _token_bpe_sql(merges=None) -> str:
     """REAL BPE token count, generated from the SAME merges table the
     engine applies (functions/bpe.py): identical brace-wrapped symbol
-    rendering and identical replace chain, so the counts agree exactly."""
+    rendering and identical replace chain, so the counts agree exactly.
+    Pass `merges` to build the chain for a different (e.g.
+    corpus-learned) vocabulary."""
     from go_matrixprofile_spark.functions.bpe import MERGES
 
+    if merges is None:
+        merges = MERGES
     s = (
         "array_to_string(list_transform("
         "list_filter(ws, w -> regexp_matches(w, '^[a-z]+$')), "
         r"w -> regexp_replace(w, '(.)', '{\1}', 'g')), '|')"
     )
-    for x, y in MERGES:
+    for x, y in merges:
         s = f"replace({s}, '{{{x}}}{{{y}}}', '{{{x}{y}}}')"
     return rf"""
 WITH words AS (
@@ -2232,6 +2257,49 @@ FROM m
 
 
 _TOKEN_BPE_SQL = _token_bpe_sql()
+
+_TOKEN_BPE_CORPUS_SQL_CACHE: dict[str, str] = {}
+
+
+def _token_bpe_corpus_sql() -> str:
+    """Replace chain for the CORPUS-LEARNED vocabulary: the reference
+    (pure-Python) trainer functions/bpe.train_bpe runs over the same
+    documents table the driver checks against (sf0.01 by contract;
+    override with SPARK_GRAFT_ORACLE_SF_DIR), using the engine's exact
+    pre-tokenization. The Spark query learns its merges DISTRIBUTED
+    (operators/bpe_train.train_bpe_distributed, pytest-pinned ≡ this
+    trainer), so the two chains are the same table derived by two
+    independent implementations — a genuine cross-engine check of both
+    the training and the application."""
+    import os
+    import re
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if sf_dir in _TOKEN_BPE_CORPUS_SQL_CACHE:
+        return _TOKEN_BPE_CORPUS_SQL_CACHE[sf_dir]
+    import duckdb
+
+    from go_matrixprofile_spark.functions.bpe import train_bpe
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    words: list[str] = []
+    for t in texts:
+        words += [
+            w
+            for w in re.split(r"\s+", t.lower())
+            if re.fullmatch(r"[a-z]+", w)
+        ]
+    merges = train_bpe(" ".join(words), 48)
+    sql = _token_bpe_sql(merges)
+    _TOKEN_BPE_CORPUS_SQL_CACHE[sf_dir] = sql
+    return sql
 
 # embeddings exploded to (vec_id, i, x) rows — the portable base for all
 # embedding SQL (DuckDB's table-valued generate_series can't take lateral

@@ -67,6 +67,68 @@ class TestBPE:
             assert int(got["n_bpe_tokens"].iloc[i]) == count_tokens(t), t
 
 
+class TestBPETrainDistributed:
+    def test_equals_reference_trainer_on_corpus(self, spark):
+        """The distributed trainer (iterative Spark pair counting) must
+        produce the exact ordered merges table the pure-Python reference
+        trainer learns from the same text under the same
+        pre-tokenization — including tie rounds, where both break by
+        lexicographically smallest pair."""
+        import re
+
+        from go_matrixprofile_spark.functions.bpe import train_bpe
+        from go_matrixprofile_spark.operators.bpe_train import (
+            train_bpe_distributed,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = train_bpe_distributed(docs, 32)
+        texts = [r["text"] for r in docs.select("text").collect()]
+        words: list[str] = []
+        for t in texts:
+            words += [
+                w
+                for w in re.split(r"\s+", t.lower())
+                if re.fullmatch(r"[a-z]+", w)
+            ]
+        want = train_bpe(" ".join(words), 32)
+        assert got == want
+        # learned table must satisfy the replace-chain preconditions
+        # (constituents exist before their merge; fused strings unique)
+        known = set("abcdefghijklmnopqrstuvwxyz")
+        fused_seen: set[str] = set()
+        for x, y in got:
+            assert x in known and y in known, (x, y)
+            fused = x + y
+            assert fused not in fused_seen, fused
+            fused_seen.add(fused)
+            known.add(fused)
+
+    def test_learned_merges_feed_the_replace_chain(self, spark):
+        """token_counts_bpe(merges=learned) must equal the pure-Python
+        tokenizer running the same learned table."""
+        import pandas as pd
+
+        from go_matrixprofile_spark.functions.bpe import count_tokens
+        from go_matrixprofile_spark.operators.bpe_train import (
+            train_bpe_distributed,
+        )
+        from go_matrixprofile_spark.operators.text import token_counts_bpe
+
+        texts = [
+            "the running engineers are testing the new training data",
+            "reading and writing every day",
+            "aaa bbb statistical understanding 123 !?",
+        ]
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        merges = train_bpe_distributed(docs, 16)
+        got = token_counts_bpe(docs, merges=merges).orderBy("doc_id").toPandas()
+        for i, t in enumerate(texts):
+            assert int(got["n_bpe_tokens"].iloc[i]) == count_tokens(t, merges), t
+
+
 class TestLangID:
     def test_non_marker_sentences_labeled(self, spark):
         """Sentences that avoid the r03 marker words entirely (no
