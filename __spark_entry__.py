@@ -360,8 +360,21 @@ def q_cosine_near_dup(spark, sf_dir):
 
 
 def q_mp_event_rate(spark, sf_dir):
+    """ORACLE-CHECKED full-scale MPX profile (no bounded subset): every
+    conversation's complete gap-filled hourly turn-rate series (~700
+    points each at sf0.01), w=24, vs a DuckDB twin that computes the
+    whole quadratic profile via per-diagonal product prefix sums
+    (O(n²) rows instead of the O(n²·w) element join the bounded
+    oracles use). Profile quantized to 4 decimals in BOTH engines
+    before hashing; the argmin idx column is excluded (mutual-nearest
+    pairs carry bit-identical mp at both arc ends, so raw-float argmin
+    flips between engines — the idx path stays pinned by the Go golden
+    fixtures in pytest)."""
     filled = _hourly_rate_filled(spark, sf_dir)
-    return matrix_profile(filled, w=24, opts=MPOpts(algorithm="mpx"))
+    prof = matrix_profile(filled, w=24, opts=MPOpts(algorithm="mpx"))
+    return prof.select(
+        "conv_id", F.col("offset").alias("j"), F.round("mp", 4).alias("mp")
+    )
 
 
 def q_mp_stomp_event_rate(spark, sf_dir):
@@ -1652,6 +1665,75 @@ allv AS (
 )
 SELECT a_id, b_id, ROUND(v, 4) AS mpdist FROM allv
 QUALIFY ROW_NUMBER() OVER (PARTITION BY a_id, b_id ORDER BY v ASC) = 5
+""",
+        # full-scale MPX profile: the same LOCF-filled hourly turn-rate
+        # series the engine computes over, then the complete quadratic
+        # profile via per-diagonal product prefix sums — dot(i, i+d) is a
+        # 24-row running sum over the diagonal's pointwise products, so
+        # the oracle materializes O(n²) product rows per conversation
+        # instead of O(n²·w) join rows (what makes a ~700-point-series,
+        # 150-conversation full profile tractable in DuckDB)
+        "mp_event_rate": f"""
+WITH {_T},
+counts AS (
+  SELECT conv_id, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM transcripts GROUP BY 1, 2
+),
+bounds AS (SELECT conv_id, MIN(b) AS lo, MAX(b) AS hi FROM counts GROUP BY 1),
+grid AS (
+  SELECT conv_id, CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS b
+  FROM bounds
+),
+jg AS (
+  SELECT g.conv_id, g.b, c.v
+  FROM grid g LEFT JOIN counts c ON c.conv_id = g.conv_id AND c.b = g.b
+),
+ser AS (
+  SELECT conv_id,
+         CAST((b - MIN(b) OVER (PARTITION BY conv_id)) / 3600 AS INT) AS pos,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY conv_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM jg
+),
+stats AS (
+  SELECT conv_id, pos AS i,
+         AVG(v) OVER w24 AS mu, STDDEV_POP(v) OVER w24 AS sig,
+         COUNT(*) OVER w24 AS m
+  FROM ser
+  WINDOW w24 AS (PARTITION BY conv_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)
+),
+fstats AS (SELECT conv_id, i, mu, sig FROM stats WHERE m = 24),
+prods AS (
+  SELECT a.conv_id, b.pos - a.pos AS d, a.pos AS i, a.v * b.v AS p
+  FROM ser a JOIN ser b
+    ON b.conv_id = a.conv_id AND b.pos - a.pos >= 6
+),
+dots AS (
+  SELECT conv_id, d, i,
+         SUM(p) OVER wd AS dot, COUNT(*) OVER wd AS m
+  FROM prods
+  WINDOW wd AS (PARTITION BY conv_id, d ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)
+),
+dists AS (
+  -- MuInvN zero-sigma guard + P2E clamp (util/util.go:266-274)
+  SELECT dt.conv_id, dt.i, dt.i + dt.d AS jj,
+         SQRT(2*24*(1 - LEAST(
+           CASE WHEN si.sig = 0 OR sj.sig = 0 THEN 0.0
+                ELSE (dt.dot - 24*si.mu*sj.mu)/(24*si.sig*sj.sig) END, 1.0))) AS dist
+  FROM dots dt
+  JOIN fstats si ON si.conv_id = dt.conv_id AND si.i = dt.i
+  JOIN fstats sj ON sj.conv_id = dt.conv_id AND sj.i = dt.i + dt.d
+  WHERE dt.m = 24
+),
+allmins AS (
+  SELECT conv_id, i AS o, dist FROM dists
+  UNION ALL SELECT conv_id, jj, dist FROM dists
+)
+SELECT conv_id, o AS j, ROUND(MIN(dist), 4) AS mp FROM allmins GROUP BY 1, 2
 """,
         "mp_mpx_oracle": f"""
 WITH {_LAT40},
