@@ -358,6 +358,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """Distributed connected components over an undirected pair list:
     (node, component) with component = the MIN node id of the component.
@@ -385,22 +386,43 @@ def connected_components(
     graph (≪ corpus: only docs with near-dup candidates) and every
     round is two shuffles on node id — the same key end to end, so AQE
     reuses the partitioning.
+
+    reliable=False (default) truncates per-round lineage with
+    ``localCheckpoint``: executor-local blocks, zero FS round-trips —
+    right for single-host runs (this sandbox) and static clusters. On a
+    real cluster with dynamic allocation or preemption, a lost executor
+    loses its local blocks and the iterative job FAILS (truncated
+    lineage cannot recompute them); pass ``reliable=True`` to persist
+    each round to the configured checkpoint directory
+    (``spark.sparkContext.setCheckpointDir`` — point it at durable
+    storage, e.g. an object-store path) so any executor loss replays
+    from the FS copy instead of killing the job.
     """
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if reliable:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    if reliable and pairs.sparkSession.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "connected_components(reliable=True) needs a reliable "
+            "checkpoint directory: call "
+            "spark.sparkContext.setCheckpointDir(<durable path>) first"
+        )
     # checkpoint edges FIRST, then derive labels from the checkpointed
     # edges: deriving labels from the raw plan would execute the whole
     # upstream pair pipeline (LSH joins, Jaccard verification, winnowing)
     # a second time — measured 2× the operator's wall on a 20k-doc corpus
-    edges = (
+    edges = _materialize(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _materialize(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -423,14 +445,13 @@ def connected_components(
         jump = labels.select(
             F.col("node").alias("j_node"), F.col("lbl").alias("j_lbl")
         )
-        new_labels = (
+        new_labels = _materialize(
             prop.join(jump, prop.lbl == jump.j_node, "left")
             .select(
                 "node",
                 F.least("lbl", F.coalesce("j_lbl", F.col("lbl"))).alias("lbl"),
                 "old_lbl",
             )
-            .localCheckpoint(eager=True)
         )
         changed = new_labels.where(F.col("lbl") != F.col("old_lbl")).limit(1).count()
         labels = new_labels.drop("old_lbl")
@@ -448,6 +469,7 @@ def dedup_groups(
     embeddings: DataFrame | None = None,
     max_iter: int = 25,
     verify_jaccard: float | None = 0.5,
+    reliable: bool = False,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into dedup groups with one survivor each:
     (doc_id, component_id, keep) for EVERY document.
@@ -505,7 +527,7 @@ def dedup_groups(
                 )
             )
     comp = connected_components(
-        pairs.select("a_id", "b_id"), max_iter=max_iter
+        pairs.select("a_id", "b_id"), max_iter=max_iter, reliable=reliable
     )
     return (
         documents.select("doc_id")

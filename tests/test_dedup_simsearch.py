@@ -292,6 +292,34 @@ class TestConnectedComponents:
         assert len(got) == n
         assert (got["component"] == 0).all()
 
+    def test_reliable_checkpoint_path(self, spark, tmp_path):
+        """reliable=True persists each round via checkpoint() against the
+        configured checkpoint dir (so a cluster executor loss replays
+        from the FS instead of failing the truncated-lineage job); must
+        produce identical components and refuse to run without a
+        checkpoint dir configured."""
+        from go_matrixprofile_spark.operators.dedup import connected_components
+
+        n = 64
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"a_id": range(n - 1), "b_id": range(1, n)})
+        )
+        sc = spark.sparkContext
+        assert sc.getCheckpointDir() is None
+        with pytest.raises(ValueError, match="checkpoint directory"):
+            connected_components(pairs, max_iter=10, reliable=True)
+        sc.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+        try:
+            got = connected_components(pairs, max_iter=10, reliable=True).toPandas()
+        finally:
+            # restore: the session is shared and this test asserts the
+            # unset state itself on re-runs
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.apply(None)
+            )
+        assert len(got) == n
+        assert (got["component"] == 0).all()
+
     def test_matches_union_find_on_random_graph(self, spark):
         """Components over a random sparse pair set equal a pure-Python
         union-find ground truth."""
