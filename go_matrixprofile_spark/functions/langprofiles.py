@@ -110,6 +110,85 @@ les entreprises ont annonce des plans pour etendre leurs operations
 les voyageurs ont fait leurs valises et attendu a la gare longtemps
 les professeurs expliquaient les lecons pendant que les eleves posaient
 """,
+    # round-5 additions: same everyday-prose fixture style, ascii-folded
+    # (the normalization maps every non-[a-z] char to a space anyway, so
+    # diacritics carry no signal and are written out)
+    "it": """
+il cane corre per la strada mentre gli altri cani guardano la casa
+lei sta correndo e saltando nel giardino con i bambini questa mattina
+gli ingegneri stanno provando il nuovo sistema e controllano i risultati
+ci sara un altra riunione nel pomeriggio sui dati di addestramento
+il tempo nelle montagne e piu freddo del tempo vicino alla costa
+leggere e scrivere sono le cose che gli studenti praticano ogni giorno
+la risposta alla domanda dipende dal significato delle altre parole
+stanno costruendo un altro ponte sul fiume vicino alla vecchia stazione
+molti colleghi dicevano che otteniamo buoni risultati insieme
+il mio vicino ha comprato mele arance prugne e uva al mercato ieri
+gli amici si sono riuniti intorno ai tavoli raccontando delle storie
+gli scienziati hanno scoperto degli schemi interessanti nei grandi dati
+i bambini hanno giocato fuori finche i genitori li hanno chiamati a cena
+le mattine cominciano lentamente con il caffe i giornali e le chiacchiere
+le aziende hanno annunciato piani per espandere le operazioni nelle regioni
+i viaggiatori hanno fatto le valigie e aspettato alla stazione a lungo
+i maestri spiegavano le lezioni mentre gli studenti facevano domande
+""",
+    "pt": """
+o cachorro corre pela rua enquanto os outros caes olham para a casa
+ela esta correndo e pulando no jardim com as criancas nesta manha
+os engenheiros estao testando o novo sistema e conferindo os resultados
+havera outra reuniao pela tarde sobre os dados de treinamento
+o tempo nas montanhas e mais frio do que o tempo perto da costa
+ler e escrever sao as coisas que os estudantes praticam todos os dias
+a resposta para a pergunta depende do significado das outras palavras
+eles estao construindo outra ponte sobre o rio perto da estacao velha
+muitos colegas falaram que obtivemos otimos resultados em conjunto
+o meu vizinho comprou macas laranjas ameixas e uvas no mercado ontem
+os amigos se reuniram ao redor das mesas compartilhando historias
+os cientistas descobriram padroes interessantes nos grandes dados
+as criancas brincaram la fora ate que os pais as chamaram para jantar
+as manhas comecam devagar com cafe jornais e conversas tranquilas
+as empresas anunciaram planos para expandir operacoes nas regioes
+os viajantes fizeram as malas conferiram os bilhetes e esperaram
+os professores explicavam as licoes enquanto os alunos perguntavam
+""",
+    "nl": """
+de hond rent door de straat terwijl de andere honden naar het huis kijken
+zij rent en springt vanochtend met de kinderen in de tuin
+de ingenieurs testen het nieuwe systeem en controleren de resultaten weer
+er komt vanmiddag nog een vergadering over de trainingsgegevens
+het weer in de bergen is kouder dan het weer aan de kust vandaag
+lezen en schrijven zijn de dingen die de studenten elke dag oefenen
+het antwoord op de vraag hangt af van de betekenis van de andere woorden
+ze bouwen nog een brug over de rivier bij het oude station
+verschillende collegas zeiden dat we samen goede resultaten behalen
+mijn buurman kocht gisteren appels sinaasappels pruimen en druiven
+de vrienden kwamen rond de tafels bijeen en vertelden verhalen
+de wetenschappers ontdekten interessante patronen in grote gegevens
+de kinderen speelden buiten totdat de ouders hen voor het eten riepen
+de ochtenden beginnen langzaam met koffie kranten en rustige gesprekken
+de bedrijven kondigden plannen aan om uit te breiden in vele regios
+de reizigers pakten tassen controleerden kaartjes en wachtten op het station
+de leraren legden de lessen uit terwijl de leerlingen vragen stelden
+""",
+    "pl": """
+pies biegnie ulica podczas gdy inne psy patrza na dom przy drodze
+ona biega i skacze dzisiaj rano z dziecmi w ogrodzie za domem
+inzynierowie testuja nowy system i znowu sprawdzaja wyniki pracy
+po poludniu bedzie jeszcze jedno spotkanie o danych treningowych
+pogoda w gorach jest zimniejsza niz pogoda blisko wybrzeza dzisiaj
+czytanie i pisanie to rzeczy ktore studenci cwicza kazdego dnia
+odpowiedz na pytanie zalezy od znaczenia innych slow w zdaniu
+buduja kolejny most na rzece w poblizu starego dworca kolejowego
+wielu kolegow mowilo ze razem osiagamy dobre wyniki w projekcie
+moj sasiad kupil wczoraj jablka pomarancze sliwki i winogrona
+przyjaciele zebrali sie wokol stolow i opowiadali sobie historie
+naukowcy odkryli interesujace wzory ukryte w duzych zbiorach danych
+dzieci bawily sie na dworze dopoki rodzice nie zawolali ich na kolacje
+poranki zaczynaja sie powoli od kawy gazet i spokojnych rozmow
+firmy oglosily plany rozszerzenia dzialalnosci w wielu regionach
+podrozni spakowali torby sprawdzili bilety i czekali na dworcu
+nauczyciele wyjasniali lekcje podczas gdy uczniowie zadawali pytania
+""",
 }
 
 

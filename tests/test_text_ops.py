@@ -146,6 +146,16 @@ class TestLangID:
             ("de", "Mein nachbar kaufte gestern apfel orangen pflaumen auf einem dorfmarkt."),
             ("fr", "Plusieurs collegues disaient que nous obtenons un bon resultat quand nous travaillons ensemble."),
             ("fr", "Mon voisin a achete une pomme une orange une prune et du raisin au marche hier."),
+            # round-5 languages — including the hard romance splits
+            # (es vs pt vs it share heavy trigram mass)
+            ("it", "Molti colleghi dicevano che otteniamo buoni risultati quando lavoriamo insieme."),
+            ("it", "Il mio vicino ha comprato mele arance e prugne al mercato ieri sera."),
+            ("pt", "Muitos colegas disseram que conseguimos bons resultados quando trabalhamos juntos."),
+            ("pt", "O meu vizinho comprou macas laranjas e ameixas no mercado ontem de manha."),
+            ("nl", "Verschillende collegas zeiden dat vooruitgang geleidelijk ontstaat wanneer mensen samenwerken."),
+            ("nl", "Mijn buurman kocht gisteren appels sinaasappels en pruimen op een dorpsmarkt."),
+            ("pl", "Wielu kolegow mowilo ze osiagamy dobre wyniki kiedy pracujemy razem."),
+            ("pl", "Moj sasiad kupil wczoraj jablka pomarancze i sliwki na targu w miasteczku."),
             ("und", "12345 !!! ???"),
             ("und", ""),
         ]
