@@ -417,6 +417,29 @@ def _scaling_run(sf_dir: str, reps: int) -> dict:
     return out
 
 
+def _load_probe() -> dict:
+    """Fixed single-thread NumPy micro-bench emitted with every bench
+    JSON so cross-round walls can be normalized for host throttling
+    (r4 verdict watch item): one 16k-pt m=128 MPX kernel run, no Spark,
+    OMP/BLAS pinned to 1 thread. A round whose probe is 2× slower than
+    another round's is a 2×-throttled host, not a 2× regression."""
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+    import numpy as np
+
+    from go_matrixprofile_spark.kernels.matrix_profile import MPOpts, compute_mp
+
+    rng = np.random.default_rng(5)
+    n = SYNTH_LEN
+    sig = np.sin(np.linspace(0, 40 * np.pi, n)) + 0.1 * rng.standard_normal(n)
+    # one warm-up (import/allocator/JIT effects measured at ~2.3×),
+    # then the probe sample
+    compute_mp(sig[: n // 4], None, SYNTH_W, MPOpts(algorithm="mpx"))
+    t0 = time.time()
+    compute_mp(sig, None, SYNTH_W, MPOpts(algorithm="mpx"))
+    return {"kernel_16k_mpx_ms": round((time.time() - t0) * 1000.0, 1)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -425,6 +448,8 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
 
     bench_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # probe BEFORE the Spark session exists: no competing executor load
+    probe = _load_probe()
     spark = _session(cpus, "bench")
     t_total0 = time.time()
     times, stats = _bench_queries(spark, sf_dir)
@@ -453,6 +478,9 @@ def main() -> None:
         "bench_reps": bench_reps,
         "queries": {k: round(v, 3) for k, v in times.items()},
         "sf": sf,
+        # single-thread host-speed probe: divide walls by the ratio of
+        # two rounds' probes to compare them on equal-host terms
+        "load_probe": probe,
         "throughput": {
             "rollup_points_per_sec": round(stats["rollup_points_per_sec"], 1),
             "mp_windows_per_sec": round(stats["mp_windows_per_sec"], 1),
