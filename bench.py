@@ -432,9 +432,10 @@ def _load_probe() -> dict:
     rng = np.random.default_rng(5)
     n = SYNTH_LEN
     sig = np.sin(np.linspace(0, 40 * np.pi, n)) + 0.1 * rng.standard_normal(n)
-    # one warm-up (import/allocator/JIT effects measured at ~2.3×),
-    # then the probe sample
-    compute_mp(sig[: n // 4], None, SYNTH_W, MPOpts(algorithm="mpx"))
+    # one FULL-SIZE warm-up, then the probe sample: a quarter-size
+    # warm-up measured insufficient (first full-size run stays ~2×
+    # slower — the big FFT/stat buffers must be faulted in at size)
+    compute_mp(sig, None, SYNTH_W, MPOpts(algorithm="mpx"))
     t0 = time.time()
     compute_mp(sig, None, SYNTH_W, MPOpts(algorithm="mpx"))
     return {"kernel_16k_mpx_ms": round((time.time() - t0) * 1000.0, 1)}
