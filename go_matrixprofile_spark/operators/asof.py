@@ -39,20 +39,25 @@ def asof_join(
     tolerance: float | None = None,
     direction: str = "backward",
 ) -> DataFrame:
-    """Inclusive as-of join, backward (default) or forward.
+    """Inclusive as-of join: backward (default), forward, or nearest.
 
     Returns every left row with `value_cols` (and ``asof_<right_on>``,
     the matched right timestamp) attached from the most recent right
-    row with right_on <= left_on (backward) or the earliest right row
-    with right_on >= left_on (forward) per `by` key; NULLs when no
-    right row qualifies (or, with `tolerance`, when the match is more
-    than `tolerance` away).
+    row with right_on <= left_on (backward), the earliest right row
+    with right_on >= left_on (forward), or whichever of the two is
+    closer in absolute distance (nearest; ties go backward, matching
+    pandas ``merge_asof``) per `by` key; NULLs when no right row
+    qualifies (or, with `tolerance`, when the match is more than
+    `tolerance` away). Nearest costs the same single shuffle — the
+    backward and forward passes are two in-partition sorts over one
+    Exchange.
     """
     from pyspark.sql.window import Window
 
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     fwd = direction == "forward"
+    near = direction == "nearest"
 
     # internal columns must not collide with the caller's schema, and the
     # value columns get re-aliased onto the left schema — both are caller
@@ -98,19 +103,47 @@ def asof_join(
     # (descending side 0 first needs _side DESC? no — at equal _t the
     # right row must be visible to the left row, i.e. precede it in the
     # scan order, which ascending _side already gives in both modes)
-    order = [F.col(c_t).desc(), F.col(c_side).asc()] if fwd else [
-        F.col(c_t).asc(), F.col(c_side).asc()
-    ]
+    back_order = [F.col(c_t).asc(), F.col(c_side).asc()]
+    fwd_order = [F.col(c_t).desc(), F.col(c_side).asc()]
+    order = fwd_order if fwd else back_order
     w = (
         Window.partitionBy(*by)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    u = u.withColumn(c_last, F.last(c_r, ignorenulls=True).over(w))
-    matched = F.col(c_last)
-    rt_d = F.col(f"{c_last}.{c_rt}").cast("double")
-    if tolerance is not None:
+    if near:
+        # nearest = both linear passes over the SAME key partitioning
+        # (one Exchange, two in-partition sorts), then the least-gap
+        # pick; ties go backward, matching pandas merge_asof
+        w_b = (
+            Window.partitionBy(*by)
+            .orderBy(*back_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_f = (
+            Window.partitionBy(*by)
+            .orderBy(*fwd_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        c_b, c_f = f"{tok}back", f"{tok}fwd"
+        u = u.withColumn(c_b, F.last(c_r, ignorenulls=True).over(w_b)).withColumn(
+            c_f, F.last(c_r, ignorenulls=True).over(w_f)
+        )
+        gap_b = F.col(c_t) - F.col(f"{c_b}.{c_rt}").cast("double")
+        gap_f = F.col(f"{c_f}.{c_rt}").cast("double") - F.col(c_t)
+        pick_f = F.col(c_b).isNull() | (
+            F.col(c_f).isNotNull() & (gap_f < gap_b)
+        )
+        u = u.withColumn(
+            c_last, F.when(pick_f, F.col(c_f)).otherwise(F.col(c_b))
+        )
+        gap = F.when(pick_f, gap_f).otherwise(gap_b)
+    else:
+        u = u.withColumn(c_last, F.last(c_r, ignorenulls=True).over(w))
+        rt_d = F.col(f"{c_last}.{c_rt}").cast("double")
         gap = rt_d - F.col(c_t) if fwd else F.col(c_t) - rt_d
+    matched = F.col(c_last)
+    if tolerance is not None:
         matched = F.when(gap <= float(tolerance), F.col(c_last))
     out = u.where(F.col(c_side) == 1)
     cols = [c for c in left.columns]
