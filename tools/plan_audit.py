@@ -329,6 +329,91 @@ def main() -> int:
         must_not=["CartesianProduct", "Window"],
     )
 
+    # 11. oversized-doc splitting: pure sequence+explode arithmetic on
+    #     the token table — NO exchange of its own (the only exchanges
+    #     in the plan, if any, belong to the upstream token count; on
+    #     the raw token projection there must be none at all)
+    from go_matrixprofile_spark.operators.corpus import split_documents
+
+    toy_tok = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 300 + 1).alias("n_bpe_tokens")
+    )
+    check(
+        "split_documents: shuffle-free explode projection",
+        split_documents(toy_tok, budget=64),
+        must=["Generate"],
+        must_not=["Exchange", "Join", "FlatMapGroupsInPandas"],
+    )
+
+    # 11b. chunk-aware packing keeps the single-shuffle shape
+    p = plan_of(
+        pack_sequences(
+            split_documents(toy_tok, budget=64),
+            budget=64,
+            n_buckets=16,
+            token_col="n_tokens",
+            chunk_col="chunk_idx",
+        )
+    )
+    checks.append(
+        (
+            "split+pack: still exactly one bucket shuffle",
+            p,
+            [
+                ("exactly one exchange", p.count("Exchange") == 2),
+                ("Arrow group apply", "FlatMapGroupsInPandas" in p),
+            ],
+        )
+    )
+
+    # 12. corpus-learned BPE application: the replace chain from the
+    #     distributed trainer compiles to the same single-scan
+    #     shuffle-free projection as the seed-vocabulary chain (the
+    #     training rounds run eagerly before this plan exists)
+    from go_matrixprofile_spark.operators.text import token_counts_bpe
+
+    toy_docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps again and again") for i in range(4)],
+        "doc_id long, text string",
+    )
+    check(
+        "token_counts_bpe(learned merges): single-scan, no shuffle, no Python",
+        token_counts_bpe(toy_docs, merges=[("t", "h"), ("th", "e"), ("a", "n")]),
+        must=["Scan"],
+        must_not=["Exchange", "BatchEvalPython", "FlatMapGroupsInPandas"],
+    )
+
+    # 13. nearest as-of: two in-partition sorted window passes over ONE
+    #     key exchange — no join operator, no second shuffle
+    from go_matrixprofile_spark.operators.asof import asof_join
+
+    toy_l = spark.range(500).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        F.col("id").cast("double").alias("t"),
+    )
+    toy_r = spark.range(100).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        (F.col("id") * 5).cast("double").alias("rt"),
+        F.col("id").cast("double").alias("v"),
+    )
+    p = plan_of(
+        asof_join(
+            toy_l, toy_r, by=["k"], left_on="t", right_on="rt",
+            value_cols=["v"], direction="nearest",
+        )
+    )
+    checks.append(
+        (
+            "asof_join(nearest): one key shuffle, two window passes, no join",
+            p,
+            [
+                ("exactly one exchange", p.count("Exchange") == 2),
+                ("window pass present", "Window" in p),
+                ("no join operator", "Join" not in p),
+            ],
+        )
+    )
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
