@@ -414,6 +414,25 @@ def main() -> int:
         )
     )
 
+    # 14. decontamination: benchmark gram set broadcast — corpus-side
+    #     grams stream map-side against the hash set, the only corpus
+    #     shuffle is the doc_id hit aggregation
+    from go_matrixprofile_spark.operators.decontam import decontaminate
+
+    toy_docs2 = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 8) for i in range(50)],
+        "doc_id long, text string",
+    )
+    toy_bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta " * 4)], "bench_id long, text string"
+    )
+    check(
+        "decontaminate: broadcast benchmark grams, no corpus-side merge join",
+        decontaminate(toy_docs2, toy_bench, n=13),
+        must=["BroadcastHashJoin", "partial_count"],
+        must_not=["SortMergeJoin", "CartesianProduct"],
+    )
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
