@@ -41,6 +41,7 @@ def main() -> None:
     ap.add_argument("--gen-convs", type=int, default=0,
                     help="if >0 and --input missing, synthesize this many convs")
     ap.add_argument("--docs", help="documents parquet (doc_id, text) for the doc-pipeline stages")
+    ap.add_argument("--benchmark", help="optional eval-set parquet (bench_id, text): adds the doc_decontam stage and gates the corpus on it")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -189,6 +190,23 @@ def main() -> None:
             ),
             partition_col="doc_bucket",
         )
+        if args.benchmark and os.path.exists(args.benchmark):
+            # contamination gate BETWEEN corpus materialization and
+            # packing: flags stay checkpointed for audit; the packed
+            # deliverable carries clean docs only
+            from go_matrixprofile_spark.operators.decontam import decontaminate
+
+            bench = spark.read.parquet(args.benchmark)
+            flags = stage(
+                "doc_decontam",
+                decontaminate(docs, bench).withColumn(
+                    "doc_bucket", (F.col("doc_id") % 64).cast("int")
+                ),
+                partition_col="doc_bucket",
+            )
+            corpus = corpus.join(
+                flags.where("NOT contaminated").select("doc_id"), "doc_id"
+            )
         chunks = split_documents(corpus.drop("doc_bucket"), budget=2048)
         stage(
             "doc_packed",
