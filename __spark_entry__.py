@@ -242,7 +242,7 @@ def q_token_counts_bpe_corpus(spark, sf_dir):
 
 def q_lang_id(spark, sf_dir):
     """ORACLE-CHECKED character-trigram language ID (Cavnar–Trenkle
-    rank profiles over 4 languages; out-of-place distance, integer
+    rank profiles over 8 languages; out-of-place distance, integer
     math) — replaces the r03 marker-word heuristic."""
     return TX.lang_id(_documents(spark, sf_dir))
 
@@ -2371,11 +2371,14 @@ def _token_bpe_corpus_sql() -> str:
         ).fetchall()
     ]
     con.close()
+    # the engine's exact pre-tokenization (operators/text._WORDISH over
+    # lowercased text, alpha pre-tokens only) — a whitespace split
+    # would miss punctuation-adjacent words the chain does merge
     words: list[str] = []
     for t in texts:
         words += [
             w
-            for w in re.split(r"\s+", t.lower())
+            for w in re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", t.lower())
             if re.fullmatch(r"[a-z]+", w)
         ]
     merges = train_bpe(" ".join(words), 48)

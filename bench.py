@@ -423,7 +423,15 @@ def _load_probe() -> dict:
     (r4 verdict watch item): one 16k-pt m=128 MPX kernel run, no Spark,
     OMP/BLAS pinned to 1 thread. A round whose probe is 2× slower than
     another round's is a 2×-throttled host, not a 2× regression."""
-    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    # pin BLAS for the probe only, then RESTORE: leaving these set would
+    # change worker threading for the whole subsequent bench relative to
+    # earlier rounds' records (session.py manages worker threading
+    # itself; the probe must not leak its own environment)
+    saved = {
+        var: os.environ.get(var)
+        for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS")
+    }
+    for var in saved:
         os.environ.setdefault(var, "1")
     import numpy as np
 
@@ -435,10 +443,17 @@ def _load_probe() -> dict:
     # one FULL-SIZE warm-up, then the probe sample: a quarter-size
     # warm-up measured insufficient (first full-size run stays ~2×
     # slower — the big FFT/stat buffers must be faulted in at size)
-    compute_mp(sig, None, SYNTH_W, MPOpts(algorithm="mpx"))
-    t0 = time.time()
-    compute_mp(sig, None, SYNTH_W, MPOpts(algorithm="mpx"))
-    return {"kernel_16k_mpx_ms": round((time.time() - t0) * 1000.0, 1)}
+    try:
+        compute_mp(sig, None, SYNTH_W, MPOpts(algorithm="mpx"))
+        t0 = time.time()
+        compute_mp(sig, None, SYNTH_W, MPOpts(algorithm="mpx"))
+        return {"kernel_16k_mpx_ms": round((time.time() - t0) * 1000.0, 1)}
+    finally:
+        for var, old in saved.items():
+            if old is None:
+                os.environ.pop(var, None)
+            else:
+                os.environ[var] = old
 
 
 def main() -> None:

@@ -47,15 +47,24 @@ def train_bpe_distributed(
     """Learn an ordered BPE merges table from a document corpus.
 
     Pre-tokenization matches the application side exactly
-    (operators/text.token_counts_bpe): lowercase, whitespace split,
-    keep pure ``[a-z]+`` words — merges are learned on precisely the
-    tokens the replace chain will later merge. Returns the ordered
+    (operators/text.token_counts_bpe): the same ``_WORDISH`` pre-token
+    extraction over lowercased text, keeping the pure ``[a-z]+``
+    pre-tokens — so merges are learned on precisely the tokens the
+    replace chain will later merge, INCLUDING punctuation-adjacent
+    words (a whitespace split would drop "hello," entirely and learn
+    from a frequency-skewed subset). Returns the ordered
     ``[(x, y), ...]`` list consumed by ``token_counts_bpe(documents,
     merges=...)`` and by ``functions.bpe.apply_bpe``.
     """
+    from .text import _WORDISH
+
     vocab = (
         documents.select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(_WORDISH), 0
+                )
+            ).alias("w")
         )
         .where(F.col("w").rlike("^[a-z]+$"))
         .groupBy("w")

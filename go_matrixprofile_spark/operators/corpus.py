@@ -91,7 +91,16 @@ def split_documents(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    n = F.col(token_col).cast("long")
+    # a NULL token count would make explode(sequence(0, NULL)) emit
+    # nothing and the document silently VANISH from the packed corpus —
+    # fail loudly instead (NULLs here mean a broken upstream join)
+    raw_n = F.col(token_col)
+    n = F.when(raw_n.isNotNull(), raw_n.cast("long")).otherwise(
+        F.assert_true(
+            F.lit(False),
+            f"split_documents: NULL {token_col} (broken upstream join?)",
+        ).cast("long")
+    )
     # ceil(n/budget) chunks; degenerate empty docs keep one 0-token chunk
     n_chunks = F.greatest(F.floor((n + budget - 1) / budget), F.lit(1))
     return (

@@ -353,6 +353,27 @@ def jaccard_verify_pairs(
     )
 
 
+def _cc_materializer(pairs: DataFrame, reliable: bool, fn_name: str):
+    """Shared per-round materialization strategy for the iterative
+    component algorithms: localCheckpoint (executor-local, zero FS
+    round-trips) by default, reliable checkpoint() against the
+    configured durable dir when requested — validated up front so a
+    cluster job fails before any compute, not mid-iteration."""
+    if reliable and pairs.sparkSession.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            f"{fn_name}(reliable=True) needs a reliable checkpoint "
+            "directory: call spark.sparkContext.setCheckpointDir("
+            "<durable path>) first"
+        )
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if reliable:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    return _materialize
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",
@@ -398,18 +419,7 @@ def connected_components(
     storage, e.g. an object-store path) so any executor loss replays
     from the FS copy instead of killing the job.
     """
-
-    def _materialize(df: DataFrame) -> DataFrame:
-        if reliable:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
-    if reliable and pairs.sparkSession.sparkContext.getCheckpointDir() is None:
-        raise ValueError(
-            "connected_components(reliable=True) needs a reliable "
-            "checkpoint directory: call "
-            "spark.sparkContext.setCheckpointDir(<durable path>) first"
-        )
+    _materialize = _cc_materializer(pairs, reliable, "connected_components")
     # checkpoint edges FIRST, then derive labels from the checkpointed
     # edges: deriving labels from the raw plan would execute the whole
     # upstream pair pipeline (LSH joins, Jaccard verification, winnowing)
@@ -489,26 +499,18 @@ def connected_components_star(
     unchanged across a full large+small round.
 
     Output matches ``connected_components``: (node, component) with
-    component = min member id, one row per node appearing in any pair.
+    component = min member id, one row per node appearing in any pair
+    (a node appearing only in self-pairs is its own singleton, same as
+    the min-label variant).
     """
-
-    def _materialize(df: DataFrame) -> DataFrame:
-        if reliable:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
-    if reliable and pairs.sparkSession.sparkContext.getCheckpointDir() is None:
-        raise ValueError(
-            "connected_components_star(reliable=True) needs a reliable "
-            "checkpoint directory: call "
-            "spark.sparkContext.setCheckpointDir(<durable path>) first"
-        )
-    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).where(
-        F.col("u") != F.col("v")
-    )
+    _materialize = _cc_materializer(pairs, reliable, "connected_components_star")
+    allp = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    raw = allp.where(F.col("u") != F.col("v"))
+    # node universe from the UNFILTERED pairs: self-pair-only nodes must
+    # still emit their singleton row (contract parity with minlabel)
     nodes = _materialize(
-        raw.select(F.col("u").alias("node"))
-        .unionByName(raw.select(F.col("v").alias("node")))
+        allp.select(F.col("u").alias("node"))
+        .unionByName(allp.select(F.col("v").alias("node")))
         .distinct()
     )
     edges = _materialize(

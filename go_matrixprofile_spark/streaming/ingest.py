@@ -94,18 +94,33 @@ def stream_rollup_1m(
         # batch aborted here is retried by the stream from its
         # checkpoint; a duplicate append from a retry is harmless —
         # read_tier keeps one row per key by batch_id.
+        import os as _os
+        import uuid as _uuid
+
         spark_b = batch_df.sparkSession
         fs, Path = _fs(spark_b, output_dir)
-        wmarker = Path(_writer_marker(output_dir, batch_id))
+        # reclaim stale markers for THIS batch_id first: structured
+        # streaming replays a batch only after the previous attempt's
+        # writer died (one active query per checkpoint), so its
+        # leftover marker is provably dead — deleting it restores
+        # self-healing after a hard crash. Markers from OTHER batches
+        # are never touched (they may be live, and silently adopting
+        # one would release the compactor exclusion early — the r5
+        # advisor finding).
+        base = output_dir.rstrip("/")
+        parent = Path(_os.path.dirname(base) or ".")
+        stale_prefix = _os.path.basename(base) + f".writing.{batch_id}."
+        if fs.exists(parent):
+            for status in fs.listStatus(parent):
+                if status.getPath().getName().startswith(stale_prefix):
+                    fs.delete(status.getPath(), False)
+        # per-attempt unique marker: createNewFile is always a fresh
+        # create, so a crashed attempt can never be confused with us
+        wmarker = Path(_writer_marker(output_dir, batch_id, _uuid.uuid4().hex))
         if not fs.createNewFile(wmarker):
-            # a stale marker from a crashed writer with the same batch_id:
-            # adopting it (and deleting it in the finally) would release
-            # the compactor exclusion earlier than the protocol intends —
-            # surface it so the operator (or the stream retry) cleans up
             raise RuntimeError(
-                f"stale writer marker {wmarker} already exists; a previous "
-                "writer for this batch crashed without cleanup — remove the "
-                "marker (after confirming no writer is live) and retry"
+                f"writer marker {wmarker} already exists — unique names "
+                "should never collide; refusing to proceed"
             )
         try:
             _check_not_compacting(spark_b, output_dir)
@@ -215,8 +230,11 @@ def _compact_marker(tier_dir: str) -> str:
     return tier_dir.rstrip("/") + ".compacting"
 
 
-def _writer_marker(tier_dir: str, batch_id: int) -> str:
-    return tier_dir.rstrip("/") + f".writing.{batch_id}"
+def _writer_marker(tier_dir: str, batch_id: int, attempt: str = "0") -> str:
+    # attempt-unique suffix: a retry after a hard crash must not be
+    # confused with (or blocked by) the dead attempt's marker; the
+    # compactor scans by the ".writing." prefix so all attempts match
+    return tier_dir.rstrip("/") + f".writing.{batch_id}.{attempt}"
 
 
 def _fs(spark: SparkSession, path: str):

@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--benchmark", help="optional eval-set parquet (bench_id, text): adds the doc_decontam stage and gates the corpus on it")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
+    if args.benchmark and not os.path.exists(args.benchmark):
+        # a typo'd eval-set path must FAIL before any compute, not
+        # silently ship a contaminated corpus (fail closed, like --input)
+        raise SystemExit(f"--benchmark {args.benchmark} does not exist")
 
     from go_matrixprofile_spark.functions.compress_ops import compress_series
     from go_matrixprofile_spark.kernels.matrix_profile import MPOpts
@@ -190,7 +194,7 @@ def main() -> None:
             ),
             partition_col="doc_bucket",
         )
-        if args.benchmark and os.path.exists(args.benchmark):
+        if args.benchmark:
             # contamination gate BETWEEN corpus materialization and
             # packing: flags stay checkpointed for audit; the packed
             # deliverable carries clean docs only
@@ -208,8 +212,14 @@ def main() -> None:
                 flags.where("NOT contaminated").select("doc_id"), "doc_id"
             )
         chunks = split_documents(corpus.drop("doc_bucket"), budget=2048)
+        # the decontamination-gated deliverable is a DIFFERENT dataset
+        # than the ungated one: give it its own stage directory so
+        # re-running an existing --output with --benchmark can't be
+        # anti-joined away against ungated committed partitions (which
+        # would silently return the old contaminated packing)
+        packed_stage = "doc_packed_decontam" if args.benchmark else "doc_packed"
         stage(
-            "doc_packed",
+            packed_stage,
             pack_sequences(
                 chunks, budget=2048, token_col="n_tokens",
                 chunk_col="chunk_idx",

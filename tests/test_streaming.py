@@ -155,6 +155,45 @@ class TestStructuredStreaming:
 
 
 class TestCompactExclusion:
+    def test_stale_writer_marker_self_heals(self, spark, tmp_path):
+        """A hard-crashed writer (SIGKILL skips the finally-delete)
+        leaves its marker behind; the streaming retry of the SAME batch
+        must reclaim it and proceed (one active query per checkpoint ⇒
+        the previous attempt is provably dead), while markers of OTHER
+        batches stay untouched and keep blocking the compactor."""
+        import pathlib
+
+        from go_matrixprofile_spark.streaming.ingest import (
+            _check_no_writers,
+            _writer_marker,
+            stream_rollup_1m,
+        )
+
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        corpus = datagen.generate_transcripts(
+            spark, 2, mega_every=0, plant_fixtures=False
+        )
+        corpus.write.mode("overwrite").parquet(in_dir)
+        # simulate the dead attempt: batch 0's marker already on disk
+        stale = pathlib.Path(_writer_marker(out_dir, 0, "deadattempt"))
+        stale.touch()
+        other = pathlib.Path(_writer_marker(out_dir, 99, "liveattempt"))
+        other.touch()
+        sink = stream_rollup_1m(spark, in_dir, ckpt, out_dir, watermark="2 days")
+        q = sink.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        # batch 0 re-ran: its stale marker was reclaimed and its own
+        # marker released; the foreign batch-99 marker is untouched
+        assert not stale.exists()
+        assert other.exists()
+        with pytest.raises(RuntimeError, match="writer marker"):
+            _check_no_writers(spark, out_dir)
+        other.unlink()
+        _check_no_writers(spark, out_dir)
+        assert spark.read.parquet(out_dir).count() > 0
+
     def test_concurrent_compaction_fails_loudly(self, spark, tmp_path):
         """The compact_tier ↔ writer exclusion is enforced by a
         .compacting intent marker, not prose: a writer batch refuses to

@@ -84,15 +84,43 @@ class TestBPETrainDistributed:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         got = train_bpe_distributed(docs, 32)
         texts = [r["text"] for r in docs.select("text").collect()]
+        # the engine's exact pre-tokenization (_WORDISH, alpha only)
         words: list[str] = []
         for t in texts:
             words += [
                 w
-                for w in re.split(r"\s+", t.lower())
+                for w in re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", t.lower())
                 if re.fullmatch(r"[a-z]+", w)
             ]
         want = train_bpe(" ".join(words), 32)
         assert got == want
+
+        # punctuation-adjacent words must reach the trainer (the
+        # application's _WORDISH extracts "hello" from "hello,"; a
+        # whitespace-split trainer would drop it and learn from a
+        # skewed subset)
+        import pandas as pd
+
+        punct = [
+            "hello, hello, hello! world. hello; world?",
+            "testing, testing... testing! the the, the.",
+        ]
+        pdocs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(punct)), "text": punct})
+        )
+        got_p = train_bpe_distributed(pdocs, 8)
+        words_p: list[str] = []
+        for t in punct:
+            words_p += [
+                w
+                for w in re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", t.lower())
+                if re.fullmatch(r"[a-z]+", w)
+            ]
+        assert got_p == train_bpe(" ".join(words_p), 8)
+        # "hello" occurs 4x only via punctuation-adjacency: its pairs
+        # must dominate the first merges
+        assert got_p[0][0] + got_p[0][1] in "hello"
+
         # learned table must satisfy the replace-chain preconditions
         # (constituents exist before their merge; fused strings unique)
         known = set("abcdefghijklmnopqrstuvwxyz")

@@ -41,6 +41,14 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    # data-derived oracles (token_counts_bpe_corpus trains its merges
+    # from the documents parquet at SQL-generation time) must read the
+    # SAME sf dir this check runs against — the env default is the
+    # driver's sf0.01 contract, so local runs at other scales need this
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entrymod
     from go_matrixprofile_spark.session import get_spark
 
