@@ -26,6 +26,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from go_matrixprofile_spark.kernels.matrix_profile import MPOpts
+from go_matrixprofile_spark.operators import cleaning as CL
+from go_matrixprofile_spark.operators import decontam as DC
 from go_matrixprofile_spark.operators import dedup as DD
 from go_matrixprofile_spark.operators import rollup as R
 from go_matrixprofile_spark.operators import series as S
@@ -251,11 +253,71 @@ def q_doc_fingerprint(spark, sf_dir):
     return TX.fingerprint(_documents(spark, sf_dir))
 
 
-def q_winnow_fingerprints(spark, sf_dir):
-    """ORACLE-CHECKED winnowing fingerprints (rolling k-gram hash +
-    per-window minimum): any match of length >= k+window-1 shares a
-    fingerprint; the distinct fp set is the cheap dedup pre-filter."""
-    return TX.winnow_fingerprints(_documents(spark, sf_dir), k=8, window=4)
+def _bench_slice(spark, sf_dir):
+    """Deterministic benchmark stand-in for the decontamination gate
+    queries: every 41st document plays the eval set, so benchmark
+    members (and any doc sharing a normalized 13-gram with one) are
+    contaminated by construction."""
+    return (
+        _documents(spark, sf_dir)
+        .where(F.col("doc_id") % 41 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """ORACLE-CHECKED GPT-3-style benchmark decontamination (word-13-
+    gram overlap, broadcast gram join): full per-document verdict table
+    — gram/hit counts, hit fraction, any-hit contamination flag."""
+    out = DC.decontaminate(
+        _documents(spark, sf_dir), _bench_slice(spark, sf_dir), n=13
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        F.round("hit_frac", 6).alias("hit_frac"),
+        "contaminated",
+    )
+
+
+def q_decontam_spans(spark, sf_dir):
+    """ORACLE-CHECKED span-level contamination audit: positions of hit
+    13-grams merged into maximal word intervals (gaps-and-islands over
+    [pos, pos+13) windows) — the excision surface for pipelines that
+    cut contaminated windows instead of dropping whole documents."""
+    return DC.contaminated_spans(
+        _documents(spark, sf_dir), _bench_slice(spark, sf_dir), n=13
+    )
+
+
+def q_clean_docs(spark, sf_dir):
+    """ORACLE-CHECKED C4 line cleaning + PII redaction chain. The
+    corpus documents are single-line and PII-free, so the query first
+    assembles a deterministic multi-line variant per doc (a short line,
+    a javascript line, synthetic e-mail/phone/IP lines, a brace line on
+    every 53rd doc), then runs clean_lines -> redact_pii in one narrow
+    shuffle-free projection; the oracle replays the identical assembly
+    and rules in SQL."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(".\nshort\nContact user"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(
+                "@example.com or call 555-123-4567 today."
+                "\nEnable javascript to proceed now."
+                "\nPing 10.0.0."
+            ),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" fast."),
+            F.when(
+                F.col("doc_id") % 53 == 0, F.lit("\nBrace { line here.")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return CL.redact_pii(CL.clean_lines(docs), text_col="clean_text")
 
 
 def q_knn_pq_adc(spark, sf_dir):
@@ -344,10 +406,6 @@ def q_knn_ivf_cosine(spark, sf_dir):
     return SS.knn_ivf_cosine(
         _embeddings(spark, sf_dir), n_queries=8, k=5, n_centroids=16, n_probe=4
     )
-
-
-def q_lsh_signatures(spark, sf_dir):
-    return SS.lsh_signatures(_embeddings(spark, sf_dir), n_planes=8)
 
 
 def q_cosine_near_dup(spark, sf_dir):
@@ -650,47 +708,6 @@ def q_mp_stmp_oracle(spark, sf_dir):
     )
 
 
-def _textlen256(spark, sf_dir):
-    """Bounded 256-point series for the accumulation-scale oracle: events
-    grouped by user_id % 4 (four long synthetic conversations), ordered by
-    (ts, event_id), first 256 text lengths per group. Raw conversations top
-    out near 90 turns, so the mod-grouping is the deterministic way to get
-    a 256-point noisy series both engines derive identically."""
-    from pyspark.sql.window import Window
-
-    ev = _events(spark, sf_dir)
-    g = ev.select(
-        (F.col("user_id") % 4).cast("string").alias("conv_id"),
-        F.length("props").cast("double").alias("value"),
-        "ts",
-        "event_id",
-    )
-    w256 = Window.partitionBy("conv_id").orderBy("ts", "event_id")
-    ranked = g.withColumn("rn", F.row_number().over(w256)).where("rn <= 256")
-    eligible = (
-        ranked.groupBy("conv_id").agg(F.count("*").alias("n")).where("n = 256")
-    )
-    return ranked.join(eligible.select("conv_id"), "conv_id").select(
-        "conv_id",
-        F.lit("text_len").alias("metric"),
-        (F.col("rn") - 1).cast("double").alias("bucket_s"),
-        "value",
-    )
-
-
-def q_mp_mpx_oracle_256(spark, sf_dir):
-    """ORACLE-CHECKED MPX at the accumulation scale the n=40 twins can't
-    reach: n=256, w=64 (exclusion zone max(1, w/4) = 16, 193 offsets per
-    series). The diagonal recurrence accumulates ~193 incremental updates
-    per diagonal here vs ~33 in the w=8 twins, so a drifting update term
-    or mis-seeded c0 that hides below ROUND(4) at n=40 surfaces. Oracle is
-    the same quadratic SQL shape as mp_mpx_oracle with w=64 stats."""
-    prof = matrix_profile(_textlen256(spark, sf_dir), w=64, opts=MPOpts(algorithm="mpx"))
-    return prof.select(
-        "conv_id", F.col("offset").alias("j"), F.round("mp", 4).alias("mp")
-    )
-
-
 def q_mp_motifs_oracle(spark, sf_dir):
     """ORACLE-CHECKED motif discovery (DiscoverMotifs,
     matrixprofile.go:1229-1333), one group, neighbor cap 4, radius 2:
@@ -983,7 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe_corpus": q_token_counts_bpe_corpus,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
-        "winnow_fingerprints": q_winnow_fingerprints,
+        "decontaminate": q_decontaminate,
+        "decontam_spans": q_decontam_spans,
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "dedup_groups": q_dedup_groups,
         "corpus_build": q_corpus_build,
@@ -994,7 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_cosine": q_knn_ivf_cosine,
         "knn_pq_adc": q_knn_pq_adc,
         "knn_pq_adc_refined": q_knn_pq_adc_refined,
-        "lsh_signatures": q_lsh_signatures,
+        "clean_docs": q_clean_docs,
         "cosine_near_dup": q_cosine_near_dup,
         "update_equivalence": q_update_equivalence,
         "compress_roundtrip": q_compress_roundtrip,
@@ -1003,7 +1021,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp_segments_oracle": q_mp_segments_oracle,
         "mpdist_oracle": q_mpdist_oracle,
         "mp_mpx_oracle": q_mp_mpx_oracle,
-        "mp_mpx_oracle_256": q_mp_mpx_oracle_256,
         "mp_ab_oracle": q_mp_ab_oracle,
         "mp_av_discords_oracle": q_mp_av_discords_oracle,
         "pmp_oracle": q_pmp_oracle,
@@ -1507,9 +1524,63 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
 FROM documents
 """,
-        "winnow_fingerprints": f"""
-WITH {_WINNOW_FPS}
-SELECT doc_id, fp FROM fps
+        "decontaminate": r"""
+WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 41 = 0),
+bg AS (
+  SELECT DISTINCT array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+12], ' ') AS gram
+  FROM (SELECT regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+        FROM bench),
+       unnest(generate_series(1, greatest(len(ws) - 12, 0))) t(i)
+),
+dg AS (
+  SELECT doc_id, array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+12], ' ') AS gram
+  FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+        FROM documents),
+       unnest(generate_series(1, greatest(len(ws) - 12, 0))) t(i)
+),
+hits AS (
+  SELECT dg.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM dg LEFT JOIN bg USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CASE WHEN COALESCE(h.n_grams, 0) > 0
+                  THEN CAST(h.n_hits AS DOUBLE) / CAST(h.n_grams AS DOUBLE)
+                  ELSE 0.0 END, 6) AS hit_frac,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+        "decontam_spans": r"""
+WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 41 = 0),
+bg AS (
+  SELECT DISTINCT array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+12], ' ') AS gram
+  FROM (SELECT regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+        FROM bench),
+       unnest(generate_series(1, greatest(len(ws) - 12, 0))) t(i)
+),
+dg AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+12], ' ') AS gram
+  FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+        FROM documents),
+       unnest(generate_series(1, greatest(len(ws) - 12, 0))) t(i)
+),
+hits AS (SELECT doc_id, pos FROM dg JOIN bg USING (gram)),
+lagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 13
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 13 AS span_end,
+       COUNT(*) AS n_hit_grams
+FROM isl GROUP BY doc_id, island
 """,
         "asof_turn_hourly": f"""
 WITH {_T},
@@ -1751,48 +1822,6 @@ dists AS (
          SQRT(2*8*(1 - LEAST(
            CASE WHEN si.sig = 0 OR sj.sig = 0 THEN 0.0
                 ELSE (d.dot - 8*si.mu*sj.mu)/(8*si.sig*sj.sig) END, 1.0))) AS dist
-  FROM dots d
-  JOIN stats si ON si.conv_id = d.conv_id AND si.i = d.i
-  JOIN stats sj ON sj.conv_id = d.conv_id AND sj.i = d.j
-)
-SELECT conv_id, j, ROUND(MIN(dist), 4) AS mp FROM dists GROUP BY 1, 2
-""",
-        "mp_mpx_oracle_256": """
-WITH g AS (
-  SELECT CAST(user_id % 4 AS VARCHAR) AS conv_id,
-         CAST(length(props) AS DOUBLE) AS v, ts, event_id
-  FROM events
-),
-ranked AS (
-  SELECT conv_id,
-         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1 AS INT) AS pos,
-         v
-  FROM g QUALIFY pos < 256
-),
-eligible AS (SELECT conv_id FROM ranked GROUP BY 1 HAVING COUNT(*) = 256),
-el AS (SELECT r.conv_id, r.pos, r.v FROM ranked r JOIN eligible USING (conv_id)),
-offs AS (
-  SELECT conv_id, CAST(unnest(generate_series(0, 192)) AS INT) AS i FROM eligible
-),
-stats AS (
-  SELECT o.conv_id, o.i, AVG(e.v) AS mu, STDDEV_POP(e.v) AS sig
-  FROM offs o JOIN el e ON e.conv_id = o.conv_id AND e.pos >= o.i AND e.pos <= o.i + 63
-  GROUP BY 1, 2
-),
-dots AS (
-  SELECT a.conv_id, a.i AS i, b.i AS j, SUM(av.v * bv.v) AS dot
-  FROM offs a
-  JOIN offs b ON b.conv_id = a.conv_id AND ABS(a.i - b.i) >= 16
-  JOIN el av ON av.conv_id = a.conv_id AND av.pos >= a.i AND av.pos <= a.i + 63
-  JOIN el bv ON bv.conv_id = a.conv_id AND bv.pos = b.i + (av.pos - a.i)
-  GROUP BY 1, 2, 3
-),
-dists AS (
-  -- MuInvN zero-sigma guard: constant windows contribute corr 0
-  SELECT d.conv_id, d.j,
-         SQRT(2*64*(1 - LEAST(
-           CASE WHEN si.sig = 0 OR sj.sig = 0 THEN 0.0
-                ELSE (d.dot - 64*si.mu*sj.mu)/(64*si.sig*sj.sig) END, 1.0))) AS dist
   FROM dots d
   JOIN stats si ON si.conv_id = d.conv_id AND si.i = d.i
   JOIN stats sj ON sj.conv_id = d.conv_id AND sj.i = d.j
@@ -2155,7 +2184,59 @@ SELECT qid, CAST(rank AS INT) AS rank, nid, dist FROM (
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rank
   FROM approx) WHERE rank <= 5
 """,
-        "lsh_signatures": _LSH_SIG_SQL,
+        "clean_docs": r"""
+WITH src AS (
+  SELECT doc_id,
+         text || '.' || chr(10) || 'short' || chr(10) ||
+         'Contact user' || CAST(doc_id % 100 AS VARCHAR) ||
+         '@example.com or call 555-123-4567 today.' || chr(10) ||
+         'Enable javascript to proceed now.' || chr(10) ||
+         'Ping 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || ' fast.' ||
+         CASE WHEN doc_id % 53 = 0 THEN chr(10) || 'Brace { line here.' ELSE '' END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, i, trim(x[i]) AS t
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS x FROM src),
+       unnest(generate_series(1, len(x))) u(i)
+),
+k AS (
+  SELECT doc_id, i, t FROM l
+  WHERE len(regexp_split_to_array(t, '\s+')) >= 3
+    AND regexp_matches(t, '[.!?"'']$')
+    AND NOT contains(lower(t), 'javascript')
+),
+agg AS (
+  SELECT doc_id, string_agg(t, chr(10) ORDER BY i) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM k GROUP BY 1
+),
+c AS (
+  SELECT s.doc_id,
+         COALESCE(a.clean_text, '') AS clean_text,
+         CAST(len(string_split(s.text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+         NOT (contains(lower(s.text), 'lorem ipsum') OR contains(s.text, '{')) AS keep_doc
+  FROM src s LEFT JOIN agg a USING (doc_id)
+),
+s1 AS (
+  SELECT doc_id, n_lines, n_kept, keep_doc,
+    CAST(len(regexp_extract_all(clean_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+    regexp_replace(clean_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM c
+),
+s2 AS (
+  SELECT doc_id, n_lines, n_kept, keep_doc, n_emails,
+    CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+    regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_lines, n_kept, keep_doc,
+       regexp_replace(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text_redacted,
+       n_emails, n_ips,
+       CAST(len(regexp_extract_all(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones
+FROM s2
+""",
         "cosine_near_dup": _NEAR_DUP_SQL,
     }
     # algorithm variants that must agree value-for-value with an
@@ -2401,25 +2482,6 @@ norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM dims GROUP BY 1)
 """
 
 
-def _lsh_sigs_cte(n_planes: int) -> str:
-    """Random-hyperplane signature CTE (needs _DIMS in scope). Plane p's
-    component for 0-based dim d is md5("p_d")-derived ±1 — matching
-    operators/simsearch.lsh_signatures."""
-    return f"""
-plane_dots AS (
-  SELECT d.vec_id, p.p,
-         SUM(d.x * ((('0x' || substr(md5(p.p || '_' || (d.i - 1)), 1, 2))::INT % 2) * 2 - 1)) AS dot
-  FROM dims d, (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) p
-  GROUP BY 1, 2
-),
-sigs AS (
-  SELECT vec_id,
-         CAST(SUM(CASE WHEN dot > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS INT) AS bucket
-  FROM plane_dots GROUP BY 1
-)
-"""
-
-
 _KNN_SQL = f"""
 WITH {_DIMS},
 dots AS (
@@ -2437,12 +2499,6 @@ ranked AS (
   FROM scored
 )
 SELECT qid, CAST(rank AS INT) AS rank, nid, score FROM ranked WHERE rank <= 5
-"""
-
-_LSH_SIG_SQL = f"""
-WITH {_DIMS},
-{_lsh_sigs_cte(8)}
-SELECT vec_id, bucket FROM sigs
 """
 
 def _lsh_band_sigs_cte(n_tables: int, band_size: int) -> str:

@@ -201,6 +201,10 @@ def main() -> None:
             from go_matrixprofile_spark.operators.decontam import decontaminate
 
             bench = spark.read.parquet(args.benchmark)
+            if "bench_id" not in bench.columns and "doc_id" in bench.columns:
+                # eval sets exported from a documents-shaped table are
+                # keyed doc_id; remap instead of failing the whole job
+                bench = bench.withColumnRenamed("doc_id", "bench_id")
             flags = stage(
                 "doc_decontam",
                 decontaminate(docs, bench).withColumn(

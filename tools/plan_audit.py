@@ -433,6 +433,50 @@ def main() -> int:
         must_not=["SortMergeJoin", "CartesianProduct"],
     )
 
+    # 15. cleaning chain: C4 line filter + PII redaction is ONE narrow
+    #     JVM projection — no shuffle, no Python, whole-stage codegen
+    #     straight off the scan
+    from go_matrixprofile_spark.operators.cleaning import clean_lines, redact_pii
+
+    cleaned = redact_pii(clean_lines(toy_docs2), text_col="clean_text")
+    p = plan_of(cleaned)
+    # the higher-order line filter is an interpreted Project (Spark
+    # doesn't codegen lambda functions) — the invariant is that the
+    # chain stays Scan+Project ONLY: narrow, shuffle-free, JVM-side
+    nodes = {
+        ln.strip("*+- ").split(" (")[0]
+        for ln in p.split("\n\n")[0].splitlines()
+        if "(" in ln and ln.strip().startswith(("*", "+", ":", "Scan", "Project"))
+    }
+    checks.append(
+        (
+            "clean_lines->redact_pii: single narrow projection, no shuffle, no Python",
+            p,
+            [
+                ("no exchange", "Exchange" not in p),
+                ("no Python eval", "BatchEvalPython" not in p and "FlatMapGroupsInPandas" not in p),
+                ("plan is Scan+Project only", nodes <= {"Project", "Scan ExistingRDD", "Scan parquet"}),
+            ],
+        )
+    )
+
+    # 15b. span merge: hit rows only cross ONE doc_id exchange for the
+    #      ordered gaps-and-islands window; benchmark side stays broadcast
+    from go_matrixprofile_spark.operators.decontam import contaminated_spans
+
+    p = plan_of(contaminated_spans(toy_docs2, toy_bench, n=13))
+    checks.append(
+        (
+            "contaminated_spans: broadcast gram join, one doc_id exchange for the window",
+            p,
+            [
+                ("broadcast gram join", "BroadcastHashJoin" in p),
+                ("window pass present", "Window" in p),
+                ("no merge join", "SortMergeJoin" not in p),
+            ],
+        )
+    )
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
