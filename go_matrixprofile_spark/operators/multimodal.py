@@ -6,20 +6,22 @@ cross a per-row Python boundary.
 
 Two decode tiers:
 - REAL decode for byte formats needing no codec library, parsed with
-  pure NumPy (functions/media.py, functions/flac.py): RIFF/WAV PCM16
-  (kind='wav'), FLAC per RFC 9639 (kind='flac' or an audio payload
-  with the fLaC magic), binary PPM (kind='ppm'), baseline sequential
-  JPEG per ITU T.81 (kind='image' with an FFD8 payload), and
-  MJPEG-in-AVI video (kind='video' with a RIFF/AVI payload) —
-  duration/RMS/ZCR/spectral-centroid for audio, dims/channel-means/
-  luminance-histogram for images, dims/frame-count/motion-energy/
-  luminance for video.
-- STUB only for the mp3 stand-in (kind 'audio') and non-AVI video,
-  which genuinely require ffmpeg: decode_stub=True (default) derives a
-  deterministic signature from payload byte statistics so plumbing,
-  schemas, batch shapes, and partitioning stay fully real and
-  testable; decode_stub=False raises NotImplementedError at the
-  decode site.
+  pure NumPy (functions/media.py, functions/flac.py, functions/mp4.py,
+  functions/mp3.py): RIFF/WAV PCM16 (kind='wav'), FLAC per RFC 9639
+  (kind='flac' or an audio payload with the fLaC magic), binary PPM
+  (kind='ppm'), baseline sequential JPEG per ITU T.81 (kind='image'
+  with an FFD8 payload), MJPEG video in BOTH containers — RIFF/AVI and
+  ISO BMFF mp4 (box walk + per-sample JPEG decode) — and MP3 at the
+  frame level (ISO 11172-3 header walk: exact duration/bitrate
+  physics) — duration/RMS/ZCR/spectral-centroid for decoded audio,
+  dims/channel-means/luminance-histogram for images, dims/frame-count/
+  motion-energy/luminance for video.
+- STUB only for payloads whose SAMPLES genuinely require a codec
+  library (H.264/H.265 mp4 tracks, PCM reconstruction of mp3, png):
+  decode_stub=True (default) derives a deterministic signature from
+  payload byte statistics so plumbing, schemas, batch shapes, and
+  partitioning stay fully real and testable; decode_stub=False raises
+  NotImplementedError at the decode site.
 
 Schemas:
   media(doc_id long, kind string, payload binary,
@@ -85,6 +87,8 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             encode_ppm,
             encode_wav_pcm16,
         )
+        from ..functions.mp3 import encode_mp3_frames
+        from ..functions.mp4 import encode_mjpeg_mp4
 
         for pdf in batches:
             rows = []
@@ -124,7 +128,8 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                     )
                     meta = {"width": w, "height": h, "sample_rate": None, "n_frames": None}
                 elif kind == "video":
-                    # real MJPEG AVI: drifting gradient, a few frames
+                    # real MJPEG video, container alternating between
+                    # RIFF/AVI and ISO BMFF mp4 (both decode for real)
                     w = int(rng.integers(8, 32))
                     h = int(rng.integers(8, 32))
                     nf = int(rng.integers(2, 8))
@@ -135,15 +140,20 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                     frames = np.repeat(
                         frames[..., None], 3, axis=-1
                     ).astype(np.uint8)
-                    payload = encode_mjpeg_avi(frames, fps=5, quality=85)
+                    if (int(i) // 6) % 2 == 0:
+                        payload = encode_mjpeg_avi(frames, fps=5, quality=85)
+                    else:
+                        payload = encode_mjpeg_mp4(frames, fps=5, quality=85)
                     meta = {"width": w, "height": h, "sample_rate": None, "n_frames": nf}
-                else:  # 'audio' (mp3 stand-in): opaque stub payload
-                    size = int(rng.integers(256, 4096))
-                    payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+                else:  # 'audio': real MPEG-1 Layer III frame stream
+                    sr = 44100
+                    dur = float(rng.uniform(0.1, 0.8))
+                    br = int(rng.choice([96, 128, 192]))
+                    payload = encode_mp3_frames(dur, sr, br, seed=int(i))
                     meta = {
                         "width": None,
                         "height": None,
-                        "sample_rate": 16000,
+                        "sample_rate": sr,
                         "n_frames": None,
                     }
                 rows.append((int(i), kind, payload, meta))
@@ -158,12 +168,14 @@ def extract_features(
     """Decode + feature-extract media payloads (Arrow-batched).
 
     WAV (RIFF/PCM16), FLAC (RFC 9639 subset, CRC+MD5-verified), PPM
-    (P6), baseline JPEG (ITU T.81 SOF0) and MJPEG-in-AVI video decode
-    for REAL via the pure-NumPy codecs in functions.media /
-    functions.flac. Only mp3 (and non-AVI video) remain stubbed
-    (genuinely codec-library-bound): with decode_stub=True the
-    "decoder" derives a deterministic dim-float signature from payload
-    byte statistics — the Spark-side plumbing (schema, batching,
+    (P6), baseline JPEG (ITU T.81 SOF0), MJPEG video in both RIFF/AVI
+    and ISO BMFF mp4 containers, and frame-level MP3 (ISO 11172-3
+    header walk) decode for REAL via the pure-NumPy codecs in
+    functions.media / functions.flac / functions.mp4 / functions.mp3.
+    Only codec-bound samples remain stubbed (H.264-class mp4 tracks,
+    mp3 PCM reconstruction, png): with decode_stub=True the "decoder"
+    derives a deterministic dim-float signature from payload byte
+    statistics — the Spark-side plumbing (schema, batching,
     partitioning, binary transport) is identical to a real decoder.
 
     Per-row quarantine (r03 advisor finding): a payload the real decoder
@@ -183,6 +195,8 @@ def extract_features(
             ppm_features,
             wav_features,
         )
+        from ..functions.mp3 import mp3_features
+        from ..functions.mp4 import mp4_features
 
         def stub_sig(buf: bytes) -> np.ndarray:
             arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
@@ -203,6 +217,13 @@ def extract_features(
                         feat = np.asarray(wav_features(buf, dim), dtype=np.float32)
                     elif row.kind in ("flac", "audio") and buf[:4] == b"fLaC":
                         feat = np.asarray(flac_features(buf, dim), dtype=np.float32)
+                    elif (
+                        row.kind == "audio"
+                        and len(buf) >= 2
+                        and buf[0] == 0xFF
+                        and (buf[1] & 0xFE) == 0xFA
+                    ):
+                        feat = np.asarray(mp3_features(buf, dim), dtype=np.float32)
                     elif row.kind == "ppm":
                         feat = np.asarray(ppm_features(buf, dim), dtype=np.float32)
                     elif row.kind == "image" and buf[:2] == b"\xff\xd8":
@@ -213,6 +234,8 @@ def extract_features(
                         and buf[8:12] == b"AVI "
                     ):
                         feat = np.asarray(mjpeg_features(buf, dim), dtype=np.float32)
+                    elif row.kind == "video" and buf[4:8] == b"ftyp":
+                        feat = np.asarray(mp4_features(buf, dim), dtype=np.float32)
                 except Exception as e:  # noqa: BLE001 — quarantine, don't kill the stage
                     err = f"{type(e).__name__}: {e}"
                 if feat is None and err is None and row.kind == "flac":
@@ -224,8 +247,8 @@ def extract_features(
                     err = "bad magic: kind='flac' payload lacks fLaC signature"
                 if feat is None and err is None and not decode_stub:
                     raise NotImplementedError(
-                        "mp3 (and non-AVI video) decode requires ffmpeg, "
-                        "absent in this image"
+                        "codec-bound payload (H.264-class mp4 / mp3 PCM / "
+                        "png) requires ffmpeg, absent in this image"
                     )
                 if feat is None:  # stubbed kind, or quarantined decode failure
                     feat = stub_sig(buf)
@@ -250,12 +273,13 @@ def extract_features(
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling for video payloads: one row per sampled frame.
 
-    MJPEG-AVI payloads are REAL: frame_bytes is the sampled frame's own
-    standalone JPEG ('00dc' chunk body), decodable downstream with
-    decode_jpeg_baseline — the image feature path applies per frame.
-    Non-AVI payloads keep the stub behavior (even byte slices stand in
-    for frames) so the plumbing stays exercised for formats that would
-    need ffmpeg."""
+    MJPEG payloads in BOTH containers are REAL: frame_bytes is the
+    sampled frame's own standalone JPEG — the '00dc' chunk body for
+    RIFF/AVI, the stsz/stco-resolved mdat sample for ISO BMFF mp4 —
+    decodable downstream with decode_jpeg_baseline, so the image
+    feature path applies per frame. Other payloads keep the stub
+    behavior (even byte slices stand in for frames) so the plumbing
+    stays exercised for formats that would need ffmpeg."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -306,6 +330,16 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
                                 )
                             f_idx += 1
                         pos += 8 + size + (size % 2)
+                    continue
+                if buf[4:8] == b"ftyp":
+                    from ..functions.mp4 import mp4_samples
+
+                    try:
+                        samples = mp4_samples(buf)
+                    except ValueError:
+                        samples = []  # malformed/codec-bound: no frames
+                    for f_idx in range(0, len(samples), every_n):
+                        rows.append((row.doc_id, f_idx, samples[f_idx]))
                     continue
                 n_frames = row.meta["n_frames"] if row.meta is not None else None
                 if not n_frames:

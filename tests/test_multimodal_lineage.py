@@ -22,16 +22,26 @@ class TestMultimodal:
 
     def test_decode_stub_gate(self, spark):
         from go_matrixprofile_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
             extract_features,
             synthesize_media,
         )
-        from py4j.protocol import Py4JJavaError
 
-        # 5 docs covers the audio kind, the one remaining stub
-        # (wav/ppm/jpeg/mjpeg-avi decode for real and do NOT raise)
-        media = synthesize_media(spark, 5)
+        # every synthesized kind now decodes for real (wav/flac/ppm/
+        # jpeg/mjpeg-avi/mjpeg-mp4/mp3-frames): decode_stub=False must
+        # succeed across the whole corpus with no quarantined rows
+        media = synthesize_media(spark, 12)
+        feats = extract_features(media, decode_stub=False).toPandas()
+        assert len(feats) == 12
+        assert feats["decode_err"].isna().all()
+        # a genuinely codec-bound payload (foreign magic) still raises
+        # under decode_stub=False — that's a configuration signal
+        foreign = spark.createDataFrame(
+            [(0, "audio", b"\x89PNGnot-an-mp3-frame-stream", None)],
+            MEDIA_SCHEMA,
+        )
         with pytest.raises(Exception):
-            extract_features(media, decode_stub=False).count()
+            extract_features(foreign, decode_stub=False).count()
 
     def test_flac_real_decode_through_spark(self, spark):
         """FLAC payloads decode for REAL (RFC 9639 subset: fixed
@@ -362,3 +372,106 @@ class TestMjpegVideo:
         px = decode_jpeg_baseline(bytes(sampled["frame_bytes"].iloc[1]))
         assert px.shape == (h, w, 3)
         np.testing.assert_array_equal(px, frames[2])
+
+    def test_mp4_roundtrip_and_real_features(self, spark):
+        """MJPEG-in-MP4 (ISO BMFF): the box walk resolves the sample
+        tables to per-frame JPEGs — identical physics pins as the AVI
+        container, same fixed feature head, frame_sample emits
+        standalone decodable JPEGs; malformed boxes raise."""
+        import pandas as pd
+
+        from go_matrixprofile_spark.functions.media import decode_jpeg_baseline
+        from go_matrixprofile_spark.functions.mp4 import (
+            decode_mjpeg_mp4,
+            encode_mjpeg_mp4,
+            parse_mp4,
+        )
+        from go_matrixprofile_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+            frame_sample,
+        )
+
+        nf, h, w = 5, 16, 24
+        frames = np.zeros((nf, h, w, 3), dtype=np.uint8)
+        for i in range(nf):
+            frames[i, :, :, :] = 40 * i + 20
+        buf = encode_mjpeg_mp4(frames, fps=5, quality=90)
+        np.testing.assert_array_equal(decode_mjpeg_mp4(buf), frames)
+        info = parse_mp4(buf)
+        assert (info["width"], info["height"], info["n_samples"]) == (w, h, nf)
+        assert info["sample_format"] == "jpeg"
+        assert abs(info["duration_s"] - 1.0) < 1e-9  # 5 frames @ 5 fps
+        with pytest.raises(ValueError):
+            parse_mp4(buf[: len(buf) // 2])  # truncated moov
+
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                [(0, "video", buf, {"width": w, "height": h,
+                                    "sample_rate": None, "n_frames": nf})],
+                columns=["doc_id", "kind", "payload", "meta"],
+            ),
+            schema=MEDIA_SCHEMA,
+        )
+        feat = extract_features(media, dim=16, decode_stub=False).toPandas()[
+            "feature"
+        ].iloc[0]
+        fw, fh, fn, mean_lum, motion = feat[:5]
+        assert (fw, fh, fn) == (float(w), float(h), float(nf))
+        assert abs(mean_lum - 100.0) <= 2.0
+        assert abs(motion - 40.0) <= 2.0
+
+        sampled = frame_sample(media, every_n=2).toPandas()
+        assert list(sampled["frame_idx"]) == [0, 2, 4]
+        px = decode_jpeg_baseline(bytes(sampled["frame_bytes"].iloc[1]))
+        assert px.shape == (h, w, 3)
+        np.testing.assert_array_equal(px, frames[2])
+
+
+class TestMp3Frames:
+    def test_frame_walk_physics(self, spark):
+        """MP3 frame-level parse: header-exact duration/bitrate through
+        the Spark feature path; truncated and garbage payloads
+        quarantine with decode_err instead of killing the stage."""
+        import pandas as pd
+
+        from go_matrixprofile_spark.functions.mp3 import (
+            encode_mp3_frames,
+            parse_mp3_frames,
+        )
+        from go_matrixprofile_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+        )
+
+        buf = encode_mp3_frames(1.0, 44100, 128, seed=5)
+        info = parse_mp3_frames(buf)
+        # 44100 samples need ceil(44100/1152)=39 frames; CBR 128k @
+        # 44.1k has fractional frame size -> alternating padding
+        assert info["n_frames"] == 39
+        assert abs(info["duration_s"] - 39 * 1152 / 44100) < 1e-12
+        assert info["n_padded"] == 19
+        assert set(info["bitrates_kbps"]) == {128}
+
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (0, "audio", buf,
+                     {"width": None, "height": None,
+                      "sample_rate": 44100, "n_frames": None}),
+                    (1, "audio", buf[:-11],  # truncated mid final frame
+                     {"width": None, "height": None,
+                      "sample_rate": 44100, "n_frames": None}),
+                ],
+                columns=["doc_id", "kind", "payload", "meta"],
+            ),
+            schema=MEDIA_SCHEMA,
+        )
+        feats = extract_features(media, dim=16).orderBy("doc_id").toPandas()
+        dur, sr_khz, n_frames, br_mean = feats["feature"].iloc[0][:4]
+        assert abs(dur - info["duration_s"]) < 1e-6
+        assert abs(sr_khz - 44.1) < 1e-4  # feature vector is float32
+        assert n_frames == 39.0
+        assert br_mean == 128.0
+        assert feats["decode_err"].iloc[0] is None
+        assert "truncated" in feats["decode_err"].iloc[1]
