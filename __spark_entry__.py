@@ -29,6 +29,7 @@ from go_matrixprofile_spark.kernels.matrix_profile import MPOpts
 from go_matrixprofile_spark.operators import cleaning as CL
 from go_matrixprofile_spark.operators import decontam as DC
 from go_matrixprofile_spark.operators import dedup as DD
+from go_matrixprofile_spark.operators import mixture as MX
 from go_matrixprofile_spark.operators import rollup as R
 from go_matrixprofile_spark.operators import series as S
 from go_matrixprofile_spark.operators import simsearch as SS
@@ -291,6 +292,30 @@ def q_decontam_spans(spark, sf_dir):
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    """ORACLE-CHECKED domain-weighted epoch sampling (GPT-3/Pile-style
+    mixture table): floor(weight) guaranteed copies + salted-md5
+    Bernoulli for the fractional part, one row per (doc, epoch) with a
+    portable global-shuffle order_key. Pure projection + one generate —
+    literal weight map, no join, no shuffle."""
+    return MX.mixture_sample(
+        _documents(spark, sf_dir),
+        weights={"src0": 2.5, "src3": 0.25, "src7": 0.0, "src11": 1.75},
+        key_col="source",
+        seed=42,
+    ).select("doc_id", "source", "epoch", "order_key")
+
+
+def q_train_val_split(spark, sf_dir):
+    """ORACLE-CHECKED deterministic train/validation assignment:
+    salted-md5 uniform per doc_id vs val_frac — disjoint, partitioning-
+    independent, subset-consistent (filtering upstream never moves a
+    surviving doc between splits). Pure projection, no shuffle."""
+    return MX.train_val_split(
+        _documents(spark, sf_dir), val_frac=0.1, seed=7
+    ).select("doc_id", "split")
+
+
 def q_clean_docs(spark, sf_dir):
     """ORACLE-CHECKED C4 line cleaning + PII redaction chain. The
     corpus documents are single-line and PII-free, so the query first
@@ -319,12 +344,6 @@ def q_clean_docs(spark, sf_dir):
     )
     return CL.redact_pii(CL.clean_lines(docs), text_col="clean_text")
 
-
-def q_knn_pq_adc(spark, sf_dir):
-    """ORACLE-CHECKED product-quantization ANN: deterministic per-
-    subvector codebooks, L2-nearest codes, asymmetric-distance top-k
-    over the 16x-compressed code table (the memory-bounded scale path)."""
-    return SS.knn_pq_adc(_embeddings(spark, sf_dir), n_queries=8, k=5)
 
 
 def q_knn_pq_adc_refined(spark, sf_dir):
@@ -696,17 +715,6 @@ def q_mp_stamp_oracle(spark, sf_dir):
     )
 
 
-def q_mp_stmp_oracle(spark, sf_dir):
-    """ORACLE-CHECKED STMP (the naive ordered join,
-    matrixprofile.go:514-544) — same distance semantics as STOMP, same
-    quadratic SQL oracle."""
-    prof = matrix_profile(
-        _latency40(spark, sf_dir), w=8, opts=MPOpts(algorithm="stmp")
-    )
-    return prof.select(
-        "conv_id", F.col("offset").alias("j"), F.round("mp", 4).alias("mp")
-    )
-
 
 def q_mp_motifs_oracle(spark, sf_dir):
     """ORACLE-CHECKED motif discovery (DiscoverMotifs,
@@ -1010,8 +1018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute_cosine": q_knn_brute_cosine,
         "knn_lsh_cosine": q_knn_lsh_cosine,
         "knn_ivf_cosine": q_knn_ivf_cosine,
-        "knn_pq_adc": q_knn_pq_adc,
         "knn_pq_adc_refined": q_knn_pq_adc_refined,
+        "mixture_sample": q_mixture_sample,
+        "train_val_split": q_train_val_split,
         "clean_docs": q_clean_docs,
         "cosine_near_dup": q_cosine_near_dup,
         "update_equivalence": q_update_equivalence,
@@ -1029,7 +1038,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp_chunked_oracle": q_mp_chunked_oracle,
         "mp_ab_chunked_oracle": q_mp_ab_chunked_oracle,
         "mp_stamp_oracle": q_mp_stamp_oracle,
-        "mp_stmp_oracle": q_mp_stmp_oracle,
         # ---- full-scale variants, rows-only by design (6) ----
         # (mp_segments and mp_motifs dropped to keep the dict at the
         # driver's 50-row gate after winnow_dup_pairs and
@@ -2095,37 +2103,40 @@ SELECT conv_id, 'turn_rate' AS metric, COUNT(*) AS n_points,
        CAST(0 AS BIGINT) AS n_mismatch
 FROM counts GROUP BY conv_id
 """,
+        "mixture_sample": """
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(CASE source WHEN 'src0' THEN 2.5 WHEN 'src3' THEN 0.25
+              WHEN 'src7' THEN 0.0 WHEN 'src11' THEN 1.75
+              ELSE 1.0 END AS DOUBLE) AS wt,
+         ('0x' || substr(md5('mix:42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+), n AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(wt) AS INT)
+           + CASE WHEN u < wt - FLOOR(wt) THEN 1 ELSE 0 END AS n_copies
+  FROM w
+), ep AS (
+  SELECT doc_id, source,
+         CAST(unnest(generate_series(0, n_copies - 1)) AS INT) AS epoch
+  FROM n
+)
+SELECT doc_id, source, epoch,
+       ('0x' || substr(md5('shuf:42:' || CAST(epoch AS VARCHAR) || ':'
+                           || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS order_key
+FROM ep
+""",
+        "train_val_split": """
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5('split:7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0 < 0.1
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+""",
         "knn_brute_cosine": _KNN_SQL,
         "knn_lsh_cosine": _KNN_LSH_SQL,
         "knn_ivf_cosine": _KNN_IVF_SQL,
-        "knn_pq_adc": f"""
-WITH {_DIMS},
-sub_d2 AS (
-  -- L2^2 of every (vec, subvector) against every codebook entry's
-  -- matching slice; codebook = first 16 vecs (deterministic), sub =
-  -- 16-dim slices. Same ROUND 6 quantization as the engine.
-  SELECT v.vec_id, CAST((v.i - 1) // 16 AS INT) AS sub, c.vec_id AS code,
-         ROUND(SUM((v.x - c.x) * (v.x - c.x)), 6) AS d2
-  FROM dims v JOIN dims c ON c.i = v.i AND c.vec_id < 16
-  GROUP BY 1, 2, 3
-),
-codes AS (
-  SELECT vec_id, sub, code FROM sub_d2
-  QUALIFY ROW_NUMBER() OVER (
-    PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) = 1
-),
-lut AS (SELECT vec_id AS qid, sub, code, d2 AS pd FROM sub_d2 WHERE vec_id < 8),
-approx AS (
-  SELECT l.qid, co.vec_id AS nid, ROUND(SUM(l.pd), 4) AS dist
-  FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code
-  WHERE l.qid <> co.vec_id
-  GROUP BY 1, 2
-)
-SELECT qid, CAST(rank AS INT) AS rank, nid, dist FROM (
-  SELECT qid, nid, dist,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rank
-  FROM approx) WHERE rank <= 5
-""",
         "knn_pq_adc_refined": f"""
 WITH {_DIMS},
 seed_d2 AS (
@@ -2241,11 +2252,10 @@ FROM s2
     }
     # algorithm variants that must agree value-for-value with an
     # existing quadratic oracle: the tiled/chunked path and MPX share
-    # one spec; STAMP at sample 1.0 and STMP share STOMP's
+    # one spec; STAMP at sample 1.0 shares STOMP's
     d["mp_chunked_oracle"] = d["mp_mpx_oracle"]
     d["mp_ab_chunked_oracle"] = d["mp_ab_oracle"]
     d["mp_stamp_oracle"] = d["mp_stomp_oracle"]
-    d["mp_stmp_oracle"] = d["mp_stomp_oracle"]
     return d
 
 

@@ -228,8 +228,8 @@ def main() -> int:
     # 9b. PQ ADC: the query LUT broadcasts against the long code table
     #     (no cartesian); the corpus-sized side carries only codes
     check(
-        "knn_pq_adc: broadcast LUT against the code table",
-        qs["knn_pq_adc"](spark, sf_dir),
+        "knn_pq_adc_refined: broadcast LUT against the code table",
+        qs["knn_pq_adc_refined"](spark, sf_dir),
         must=["BroadcastHashJoin", "partial_sum"],
         must_not=["CartesianProduct"],
     )
@@ -242,7 +242,7 @@ def main() -> int:
     #     optimizer courtesy (r03 verdict nit #2); pin it for all four
     #     families so a refactor to an unsupported rank pattern fails
     #     the audit.
-    for fam in ("knn_brute_cosine", "knn_lsh_cosine", "knn_ivf_cosine", "knn_pq_adc"):
+    for fam in ("knn_brute_cosine", "knn_lsh_cosine", "knn_ivf_cosine", "knn_pq_adc_refined"):
         check(
             f"{fam}: top-k compiles to map-side WindowGroupLimit",
             qs[fam](spark, sf_dir),
@@ -473,6 +473,51 @@ def main() -> int:
                 ("broadcast gram join", "BroadcastHashJoin" in p),
                 ("window pass present", "Window" in p),
                 ("no merge join", "SortMergeJoin" not in p),
+            ],
+        )
+    )
+
+    # 16. mixture sampling / train-val split: pure projections — the
+    #     weight table is a literal map expression (NO join of any
+    #     kind), the epoch fan-out is one Generate, and nothing
+    #     shuffles at any corpus size
+    from go_matrixprofile_spark.operators.mixture import (
+        mixture_sample,
+        train_val_split,
+    )
+
+    pq_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(
+        mixture_sample(pq_docs, {"src0": 2.5, "src1": 0.25}, seed=42).select(
+            "doc_id", "source", "epoch", "order_key"
+        )
+    )
+    checks.append(
+        (
+            "mixture_sample: literal weight map, one Generate, no join, no shuffle",
+            p,
+            [
+                ("no exchange", "Exchange" not in p),
+                ("no join", "Join" not in p and "CartesianProduct" not in p),
+                ("epoch fan-out is a Generate", "Generate" in p),
+                ("no Python eval", "BatchEvalPython" not in p and "InPandas" not in p),
+                (
+                    "text pruned out of the scan",
+                    "ReadSchema" in p
+                    and "text" not in p.split("ReadSchema")[1].split("\n")[0],
+                ),
+            ],
+        )
+    )
+    p = plan_of(train_val_split(pq_docs.select("doc_id"), val_frac=0.1, seed=7))
+    checks.append(
+        (
+            "train_val_split: single narrow projection, no shuffle",
+            p,
+            [
+                ("no exchange", "Exchange" not in p),
+                ("no join", "Join" not in p),
+                ("no Python eval", "BatchEvalPython" not in p and "InPandas" not in p),
             ],
         )
     )
