@@ -20,6 +20,12 @@ Stages (each checkpointed under --output):
      the document-pipeline stages (Gopher repetition stats, exact
      dedup groups, substring-level winnowing dup pairs), checkpointed
      by doc_id bucket so resume works at bucket granularity
+  8. (with --val-frac / --mixture) doc_val — deterministic hash
+     holdout roster — and domain-weighted epoch sampling ahead of
+     packing; epoch copies pack as composite streams doc_id*K+epoch
+     (decode: doc = id // K, epoch = id % K), and every flag variant
+     packs into its own stage directory so resume can't serve the
+     wrong deliverable
 """
 
 from __future__ import annotations
@@ -42,8 +48,20 @@ def main() -> None:
                     help="if >0 and --input missing, synthesize this many convs")
     ap.add_argument("--docs", help="documents parquet (doc_id, text) for the doc-pipeline stages")
     ap.add_argument("--benchmark", help="optional eval-set parquet (bench_id, text): adds the doc_decontam stage and gates the corpus on it")
+    ap.add_argument("--val-frac", type=float, default=0.0,
+                    help="if >0, deterministically hold out this fraction of corpus docs as validation (doc_val stage) and pack only the train split")
+    ap.add_argument("--mixture", default=None,
+                    help="JSON {source: epoch_weight} mixture table: up-/down-sample domains before packing (unlisted sources weight 1.0)")
+    ap.add_argument("--mix-seed", type=int, default=0,
+                    help="seed for the val-split / mixture hash draws")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
+    mixture_weights = json.loads(args.mixture) if args.mixture else None
+    if mixture_weights is not None and (
+        not isinstance(mixture_weights, dict)
+        or any(not isinstance(v, (int, float)) or v < 0 for v in mixture_weights.values())
+    ):
+        raise SystemExit("--mixture must be a JSON object of nonnegative weights")
     if args.benchmark and not os.path.exists(args.benchmark):
         # a typo'd eval-set path must FAIL before any compute, not
         # silently ship a contaminated corpus (fail closed, like --input)
@@ -215,13 +233,61 @@ def main() -> None:
             corpus = corpus.join(
                 flags.where("NOT contaminated").select("doc_id"), "doc_id"
             )
-        chunks = split_documents(corpus.drop("doc_bucket"), budget=2048)
-        # the decontamination-gated deliverable is a DIFFERENT dataset
-        # than the ungated one: give it its own stage directory so
-        # re-running an existing --output with --benchmark can't be
-        # anti-joined away against ungated committed partitions (which
-        # would silently return the old contaminated packing)
+        corpus = corpus.drop("doc_bucket")
+        if args.val_frac > 0:
+            # deterministic, subset-consistent hash holdout: the val
+            # roster is checkpointed for audit, and only train docs
+            # flow into mixing/packing
+            from go_matrixprofile_spark.operators.mixture import train_val_split
+
+            assigned = train_val_split(
+                corpus, val_frac=args.val_frac, seed=args.mix_seed
+            )
+            stage(
+                "doc_val",
+                assigned.where("split = 'val'")
+                .select("doc_id", "n_bpe_tokens")
+                .withColumn("doc_bucket", (F.col("doc_id") % 64).cast("int")),
+                partition_col="doc_bucket",
+            )
+            corpus = assigned.where("split = 'train'").drop("split")
+        if mixture_weights is not None:
+            # domain-weighted epoch sampling; each (doc, epoch) copy
+            # becomes its own packing stream under a collision-free
+            # composite id doc_id*K+epoch (K = max possible copies), so
+            # consumers decode doc = id // K, epoch = id % K
+            import math
+
+            from go_matrixprofile_spark.operators.mixture import mixture_sample
+
+            k_copies = int(math.ceil(max([*mixture_weights.values(), 1.0]))) + 1
+            mixed = mixture_sample(
+                corpus.join(docs.select("doc_id", "source"), "doc_id"),
+                mixture_weights,
+                key_col="source",
+                seed=args.mix_seed,
+            )
+            corpus = mixed.select(
+                (F.col("doc_id") * k_copies + F.col("epoch")).alias("doc_id"),
+                "n_bpe_tokens",
+            )
+        chunks = split_documents(corpus, budget=2048)
+        # the decontamination-gated / held-out / mixed deliverables are
+        # DIFFERENT datasets than the plain one: give each variant its
+        # own stage directory so re-running an existing --output with
+        # different flags can't be anti-joined away against committed
+        # partitions of another variant (which would silently return
+        # the wrong packing)
         packed_stage = "doc_packed_decontam" if args.benchmark else "doc_packed"
+        if args.val_frac > 0:
+            packed_stage += f"_v{args.val_frac:g}"
+        if mixture_weights is not None:
+            import hashlib
+
+            mix_tag = hashlib.md5(
+                json.dumps(mixture_weights, sort_keys=True).encode()
+            ).hexdigest()[:8]
+            packed_stage += f"_m{mix_tag}"
         stage(
             packed_stage,
             pack_sequences(
