@@ -79,8 +79,9 @@ def parse_mp3_frames(buf: bytes) -> dict:
     while pos + 4 <= n:
         if buf[pos] != 0xFF or (buf[pos + 1] & 0xFE) != 0xFA:
             raise ValueError(f"bad sync at byte {pos}")
-        if buf[pos + 1] & 0x01:
-            pass  # no-CRC bit set, nothing follows the 4-byte header
+        # protection bit (buf[pos+1] & 1): when CRC is present the
+        # 2-byte checksum sits inside the frame length, so the walk
+        # needs no special handling — frames are NOT CRC-validated here
         br_idx = buf[pos + 2] >> 4
         sr_idx = (buf[pos + 2] >> 2) & 0x3
         padding = (buf[pos + 2] >> 1) & 0x1

@@ -124,15 +124,21 @@ def parse_mp4(buf: bytes) -> dict:
     SAMPLE DECODE below requires the 'jpeg' entry."""
     if len(buf) < 12:
         raise ValueError("not an ISO BMFF payload")
-    f0, f1 = _find(buf, 0, len(buf), [b"ftyp"])
+    f0, _ = _find(buf, 0, len(buf), [b"ftyp"])
     brand = buf[f0 : f0 + 4].decode("latin1")
     m0, m1 = _find(buf, 0, len(buf), [b"moov"])
     v0, _ = _find(buf, m0, m1, [b"mvhd"])
+    if buf[v0] != 0:
+        # version 1 moves timescale/duration past 64-bit timestamps;
+        # refuse rather than read the timestamp halves as garbage
+        raise ValueError(f"mvhd version {buf[v0]} unsupported (v0 only)")
     timescale, duration = struct.unpack(">II", buf[v0 + 12 : v0 + 20])
     t0, t1 = _find(buf, m0, m1, [b"trak"])
-    k0, _ = _find(buf, t0, t1, [b"tkhd"])
-    # width/height are the last 8 bytes of tkhd v0, 16.16 fixed point
-    _, _, k1 = next(f for f in _walk(buf, t0, t1) if f[0] == b"tkhd")
+    # width/height are the last 8 bytes of tkhd (16.16 fixed point),
+    # version-independent since we index from the box END
+    _, k0, k1 = next(f for f in _walk(buf, t0, t1) if f[0] == b"tkhd")
+    if buf[k0] != 0:
+        raise ValueError(f"tkhd version {buf[k0]} unsupported (v0 only)")
     w16, h16 = struct.unpack(">II", buf[k1 - 8 : k1])
     s0, s1 = _find(buf, t0, t1, [b"mdia", b"minf", b"stbl"])
     d0, _ = _find(buf, s0, s1, [b"stsd"])

@@ -275,6 +275,7 @@ def pack_sequences(
     n_buckets: int | None = 256,
     token_col: str = "n_bpe_tokens",
     chunk_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequence packing for pretraining: assign every document a
     (seq_id, seq_offset) inside fixed token-budget training sequences.
@@ -299,6 +300,14 @@ def pack_sequences(
     with NO exception class; chunks of one doc share a bucket and pack
     adjacently in (doc_id, chunk_idx) order, so a split doc's pieces
     stay contiguous in the sequence stream.
+
+    order_col: optional per-document shuffle key (e.g. the mixture
+    stage's ``order_key``): buckets route on it and documents pack in
+    ``(order_col, doc_id[, chunk_idx])`` order, so the packed stream
+    IS the deterministic shuffled training order (domains interleaved,
+    epoch copies separated) instead of corpus doc_id order. The key
+    must be constant across one document's chunks — chunks stay
+    contiguous because doc_id breaks order_col ties before chunk_idx.
     """
     if n_buckets is None:
         # derive from corpus size so one bucket's Arrow batch is bounded
@@ -309,6 +318,8 @@ def pack_sequences(
         n_buckets = max(256, -(-rows // _PACK_ROWS_PER_BUCKET))
     chunked = chunk_col is not None
     sort_cols = ["doc_id", "chunk_idx"] if chunked else ["doc_id"]
+    if order_col is not None:
+        sort_cols = ["_order", *sort_cols]
     schema = PACK_CHUNK_SCHEMA if chunked else PACK_SCHEMA
 
     def pack(pdf):
@@ -330,6 +341,7 @@ def pack_sequences(
                 seq += 1
                 fill = 0
         base = bucket << 40
+        pdf = pdf.drop(columns=["_order"], errors="ignore")
         out = {"doc_id": pdf["doc_id"].to_numpy()}
         if chunked:
             out["chunk_idx"] = pdf["chunk_idx"].to_numpy()
@@ -341,6 +353,7 @@ def pack_sequences(
         )
         return pd.DataFrame(out)
 
+    bucket_src = F.col(order_col) if order_col is not None else F.col("doc_id")
     staged = corpus.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         *(
@@ -348,10 +361,15 @@ def pack_sequences(
             if chunked
             else []
         ),
+        *(
+            [F.col(order_col).cast("long").alias("_order")]
+            if order_col is not None
+            else []
+        ),
         F.col(token_col).cast("long").alias("n_tokens"),
         # pmod, not %: Spark's % is sign-preserving, so hash-derived
         # negative doc_ids would mint negative buckets (and negative
         # seq_id bases) and silently double the bucket count
-        F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.pmod(bucket_src, F.lit(n_buckets)).cast("int").alias("bucket"),
     )
     return staged.groupBy("bucket").applyInPandas(pack, schema)

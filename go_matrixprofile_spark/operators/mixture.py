@@ -28,7 +28,10 @@ aggregation, no Python:
   At 100 TB the consumer writes with ``repartitionByRange(order_key)``
   + ``sortWithinPartitions`` — a single range exchange — or simply
   bucket-sorts by it; this module deliberately returns the key, not a
-  materialized rank.
+  materialized rank. The key is 32 bits, so beyond ~10^9 rows ties
+  WILL occur (pigeonhole): for a total deterministic order, always
+  sort by ``(order_key, doc_id, epoch)`` — the convention
+  ``pack_sequences(order_col=...)`` implements.
 
 Plan shape at 100 TB: one narrow projection per operator (mixture adds
 one ``explode(sequence)`` generate), weight tables enter as literal
@@ -57,6 +60,14 @@ def _md5_key(salt: str, id_col: Column) -> Column:
     """Engine-portable 32-bit integer key (same hash, no division)."""
     h = F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string")))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def shuffle_key(seed: int, id_col: Column) -> Column:
+    """Portable training-order key for an arbitrary id column — the
+    same hash family ``mixture_sample`` emits as ``order_key``. Use to
+    re-derive a shuffle order downstream (e.g. on the pipeline's
+    composite doc_id*K+epoch stream ids after document splitting)."""
+    return _md5_key(f"shuf:{seed}", id_col)
 
 
 def mixture_sample(

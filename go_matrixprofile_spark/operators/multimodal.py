@@ -196,7 +196,7 @@ def extract_features(
             wav_features,
         )
         from ..functions.mp3 import mp3_features
-        from ..functions.mp4 import mp4_features
+        from ..functions.mp4 import mp4_features, parse_mp4
 
         def stub_sig(buf: bytes) -> np.ndarray:
             arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
@@ -235,7 +235,17 @@ def extract_features(
                     ):
                         feat = np.asarray(mjpeg_features(buf, dim), dtype=np.float32)
                     elif row.kind == "video" and buf[4:8] == b"ftyp":
-                        feat = np.asarray(mp4_features(buf, dim), dtype=np.float32)
+                        # demux first: a HEALTHY mp4 whose sample entry
+                        # is codec-bound (avc1/hev1-class) is NOT a
+                        # quarantine case — leave feat/err None so the
+                        # decode_stub gate below applies (raise under
+                        # decode_stub=False, stub signature otherwise);
+                        # corrupt box trees raise → quarantined
+                        info = parse_mp4(buf)
+                        if info["sample_format"] == "jpeg":
+                            feat = np.asarray(
+                                mp4_features(buf, dim), dtype=np.float32
+                            )
                 except Exception as e:  # noqa: BLE001 — quarantine, don't kill the stage
                     err = f"{type(e).__name__}: {e}"
                 if feat is None and err is None and row.kind == "flac":
@@ -336,8 +346,11 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
 
                     try:
                         samples = mp4_samples(buf)
-                    except ValueError:
-                        samples = []  # malformed/codec-bound: no frames
+                    except Exception:  # noqa: BLE001 — corrupt sample
+                        # tables raise struct.error, not just ValueError;
+                        # either way quarantine the payload (no frames)
+                        # instead of killing the mapInPandas stage
+                        samples = []
                     for f_idx in range(0, len(samples), every_n):
                         rows.append((row.doc_id, f_idx, samples[f_idx]))
                     continue

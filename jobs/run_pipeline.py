@@ -62,6 +62,10 @@ def main() -> None:
         or any(not isinstance(v, (int, float)) or v < 0 for v in mixture_weights.values())
     ):
         raise SystemExit("--mixture must be a JSON object of nonnegative weights")
+    if (mixture_weights is not None or args.val_frac > 0) and not args.docs:
+        # these flags only shape the document deliverable: silently
+        # ignoring them would look like a (wrong) success
+        raise SystemExit("--mixture/--val-frac require --docs")
     if args.benchmark and not os.path.exists(args.benchmark):
         # a typo'd eval-set path must FAIL before any compute, not
         # silently ship a contaminated corpus (fail closed, like --input)
@@ -159,6 +163,13 @@ def main() -> None:
         from go_matrixprofile_spark.operators.text import repetition_stats
 
         docs = spark.read.parquet(args.docs)
+        if mixture_weights is not None and "source" not in docs.columns:
+            # fail BEFORE any stage computes, like --benchmark: the
+            # mixture key is the docs' source/domain column
+            raise SystemExit(
+                "--mixture requires a 'source' column in --docs "
+                f"(found: {docs.columns})"
+            )
         # per-doc partitioning would be one dir per doc; bucket to 64
         stage(
             "doc_quality",
@@ -234,6 +245,27 @@ def main() -> None:
                 flags.where("NOT contaminated").select("doc_id"), "doc_id"
             )
         corpus = corpus.drop("doc_bucket")
+        # every (--benchmark, --val-frac, --mixture, --mix-seed) combo
+        # is a DIFFERENT deliverable: compose a variant suffix for the
+        # stages it shapes, so re-running an existing --output with
+        # different flags (or a different seed, which samples a
+        # different holdout / fractional-epoch subset) can't be
+        # anti-joined away against another variant's committed
+        # partitions and silently serve the wrong dataset
+        variant = ""
+        if args.benchmark:
+            variant += "_decontam"
+        if args.val_frac > 0:
+            variant += f"_v{args.val_frac:g}"
+        if mixture_weights is not None:
+            import hashlib
+
+            mix_tag = hashlib.md5(
+                json.dumps(mixture_weights, sort_keys=True).encode()
+            ).hexdigest()[:8]
+            variant += f"_m{mix_tag}"
+        if args.val_frac > 0 or mixture_weights is not None:
+            variant += f"_s{args.mix_seed}"
         if args.val_frac > 0:
             # deterministic, subset-consistent hash holdout: the val
             # roster is checkpointed for audit, and only train docs
@@ -244,7 +276,7 @@ def main() -> None:
                 corpus, val_frac=args.val_frac, seed=args.mix_seed
             )
             stage(
-                "doc_val",
+                f"doc_val{variant}",
                 assigned.where("split = 'val'")
                 .select("doc_id", "n_bpe_tokens")
                 .withColumn("doc_bucket", (F.col("doc_id") % 64).cast("int")),
@@ -272,27 +304,23 @@ def main() -> None:
                 "n_bpe_tokens",
             )
         chunks = split_documents(corpus, budget=2048)
-        # the decontamination-gated / held-out / mixed deliverables are
-        # DIFFERENT datasets than the plain one: give each variant its
-        # own stage directory so re-running an existing --output with
-        # different flags can't be anti-joined away against committed
-        # partitions of another variant (which would silently return
-        # the wrong packing)
-        packed_stage = "doc_packed_decontam" if args.benchmark else "doc_packed"
-        if args.val_frac > 0:
-            packed_stage += f"_v{args.val_frac:g}"
+        order_col = None
         if mixture_weights is not None:
-            import hashlib
+            # pack in shuffled training order, not corpus doc order:
+            # re-derive the portable order key on the composite id
+            # (constant across a copy's chunks, distinct across epoch
+            # copies) and let pack_sequences bucket+sort on it
+            from go_matrixprofile_spark.operators.mixture import shuffle_key
 
-            mix_tag = hashlib.md5(
-                json.dumps(mixture_weights, sort_keys=True).encode()
-            ).hexdigest()[:8]
-            packed_stage += f"_m{mix_tag}"
+            chunks = chunks.withColumn(
+                "order_key", shuffle_key(args.mix_seed, F.col("doc_id"))
+            )
+            order_col = "order_key"
         stage(
-            packed_stage,
+            f"doc_packed{variant}",
             pack_sequences(
                 chunks, budget=2048, token_col="n_tokens",
-                chunk_col="chunk_idx",
+                chunk_col="chunk_idx", order_col=order_col,
             ),
             partition_col="bucket",
         )

@@ -175,3 +175,67 @@ class TestPackSequences:
         # per-row implication: an in-budget doc never starts past the
         # budget boundary (only an oversized doc may overflow its seq)
         assert ((got["seq_offset"] < 256) | (got["n_tokens"] > 256)).all()
+
+
+class TestPackOrderCol:
+    def test_order_col_shuffled_pack(self, spark):
+        """pack_sequences(order_col=...): documents pack in shuffled
+        (order_col, doc_id, chunk_idx) order — chunks stay contiguous,
+        the budget invariant holds, and the result is partitioning-
+        invariant."""
+        from go_matrixprofile_spark.operators.corpus import (
+            pack_sequences,
+            split_documents,
+        )
+        from go_matrixprofile_spark.operators.mixture import shuffle_key
+
+        import pyspark.sql.functions as F
+
+        rng = np.random.default_rng(7)
+        n, budget = 300, 256
+        toks = rng.integers(10, 200, n)
+        toks[11] = 600  # oversized → split into 3 chunks
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(n), "n_bpe_tokens": toks})
+        )
+        chunks = split_documents(corpus, budget=budget).withColumn(
+            "order_key", shuffle_key(5, F.col("doc_id"))
+        )
+        got = pack_sequences(
+            chunks, budget=budget, n_buckets=8, token_col="n_tokens",
+            chunk_col="chunk_idx", order_col="order_key",
+        ).toPandas()
+        assert len(got) == len(chunks.toPandas())
+        # budget holds for EVERY sequence
+        assert got.groupby("seq_id")["n_tokens"].sum().max() <= budget
+        # output drops the internal order column but keeps the pack schema
+        assert set(got.columns) == {
+            "doc_id", "chunk_idx", "n_tokens", "bucket", "seq_id", "seq_offset"
+        }
+        # within a bucket, the doc stream follows the order key (docs
+        # sorted by their seq_id/seq_offset placement == order_key rank)
+        keys = (
+            chunks.select("doc_id", "order_key").distinct().toPandas()
+            .set_index("doc_id")["order_key"]
+        )
+        placed = (
+            got.sort_values(["seq_id", "seq_offset"])
+            .drop_duplicates("doc_id")
+        )
+        for b, sub in placed.groupby("bucket"):
+            ks = [keys[d] for d in sub["doc_id"]]
+            assert ks == sorted(ks), f"bucket {b} not in order_key order"
+        # chunks of the oversized doc remain contiguous in its sequence stream
+        over = got[got.doc_id == 11].sort_values("chunk_idx")
+        assert list(over["chunk_idx"]) == [0, 1, 2]
+        assert over["seq_id"].is_monotonic_increasing
+        # partitioning invariance
+        again = pack_sequences(
+            chunks.repartition(13), budget=budget, n_buckets=8,
+            token_col="n_tokens", chunk_col="chunk_idx", order_col="order_key",
+        ).toPandas()
+        key = ["doc_id", "chunk_idx"]
+        a = got.sort_values(key).reset_index(drop=True)
+        b = again.sort_values(key).reset_index(drop=True)
+        assert (a["seq_id"].to_numpy() == b["seq_id"].to_numpy()).all()
+        assert (a["seq_offset"].to_numpy() == b["seq_offset"].to_numpy()).all()

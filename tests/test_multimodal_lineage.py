@@ -475,3 +475,62 @@ class TestMp3Frames:
         assert br_mean == 128.0
         assert feats["decode_err"].iloc[0] is None
         assert "truncated" in feats["decode_err"].iloc[1]
+
+class TestMp4EdgePaths:
+    def test_codec_bound_and_corrupt_mp4_paths(self, spark):
+        """A HEALTHY mp4 with a codec-bound sample entry (avc1-class)
+        is a configuration signal: decode_stub=False raises, stub mode
+        emits the stub signature with NO decode_err. A CORRUPT sample
+        table (struct-level damage) quarantines with decode_err and
+        frame_sample yields no frames instead of failing the stage.
+        Version-1 mvhd boxes are refused, not misparsed."""
+        import pandas as pd
+
+        from go_matrixprofile_spark.functions.mp4 import (
+            encode_mjpeg_mp4,
+            parse_mp4,
+        )
+        from go_matrixprofile_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+            frame_sample,
+        )
+
+        frames = np.full((3, 8, 8, 3), 90, dtype=np.uint8)
+        buf = encode_mjpeg_mp4(frames, fps=5)
+
+        # avc1 sample entry: patch the stsd entry fourcc
+        i = buf.index(b"stsd")
+        avc = buf[: i + 16] + b"avc1" + buf[i + 20 :]
+        assert parse_mp4(avc)["sample_format"] == "avc1"
+        # corrupt stsz: absurd sample count -> struct-level failure
+        j = buf.index(b"stsz")
+        bad = buf[: j + 12] + (10**6).to_bytes(4, "big") + buf[j + 16 :]
+        # version-1 mvhd: refused with a clean ValueError
+        k = buf.index(b"mvhd")
+        v1 = buf[: k + 4] + b"\x01" + buf[k + 5 :]
+        with pytest.raises(ValueError, match="mvhd version 1"):
+            parse_mp4(v1)
+
+        def media_df(payload):
+            return spark.createDataFrame(
+                pd.DataFrame(
+                    [(0, "video", payload,
+                      {"width": 8, "height": 8,
+                       "sample_rate": None, "n_frames": 3})],
+                    columns=["doc_id", "kind", "payload", "meta"],
+                ),
+                schema=MEDIA_SCHEMA,
+            )
+
+        # codec-bound: stub mode -> stub signature, NOT an error row
+        row = extract_features(media_df(avc), decode_stub=True).toPandas().iloc[0]
+        assert row["decode_err"] is None
+        # codec-bound: decode_stub=False -> loud NotImplementedError
+        with pytest.raises(Exception, match="NotImplementedError|codec-bound"):
+            extract_features(media_df(avc), decode_stub=False).count()
+        # corrupt: quarantined with decode_err, stage survives
+        row = extract_features(media_df(bad), decode_stub=False).toPandas().iloc[0]
+        assert row["decode_err"] is not None
+        # corrupt: frame_sample yields zero frames, no stage failure
+        assert frame_sample(media_df(bad), every_n=1).count() == 0
