@@ -130,6 +130,59 @@ def mixture_sample(
     )
 
 
+def temperature_weights(
+    documents: DataFrame,
+    tau: float = 0.3,
+    key_col: str = "source",
+    token_col: str | None = None,
+    total_epochs_cap: float = 10.0,
+) -> dict[str, float]:
+    """Temperature-based mixture weights (the multilingual sampling
+    rule of mBERT / XLM-R, Conneau et al. 2020 §3.1): sample domain d
+    with probability ``p_d ∝ f_d^tau`` where ``f_d`` is its corpus
+    fraction (by document count, or by ``token_col`` sum when given).
+
+    Returns a {domain: epoch_weight} dict for :func:`mixture_sample`,
+    normalized so the EXPECTED total output size equals the input size
+    (``sum_d w_d · f_d = 1``): tau=1 reproduces the natural
+    distribution (all weights 1), tau→0 approaches uniform domain
+    sampling — rare domains get up-sampled, head domains down-sampled.
+    Weights are capped at ``total_epochs_cap`` so a vanishingly rare
+    domain cannot demand unbounded epochs.
+
+    Scale: ONE map-side-combinable aggregation over the corpus (the
+    domain cardinality is tens of rows); the returned literal dict
+    then enters mixture_sample's no-shuffle projection. The weights
+    are driver-side plain data — persist them alongside the run config
+    for reproducibility.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    agg = (
+        F.sum(F.col(token_col)).cast("double")
+        if token_col
+        else F.count(F.lit(1)).cast("double")
+    )
+    # two-level agg folds the per-domain table (tens of rows) into ONE
+    # driver row — a scalar fetch, not a data collect
+    row = (
+        documents.groupBy(F.col(key_col).alias("k"))
+        .agg(agg.alias("n"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("k", "n"))).alias("m"))
+        .first()
+    )
+    counts = dict(row["m"]) if row is not None and row["m"] else {}
+    total = sum(counts.values())
+    if not total:
+        return {}
+    # w_d = p_d / f_d with p_d ∝ f_d^tau  ==>  w_d ∝ f_d^(tau-1),
+    # normalized so sum_d w_d f_d = 1 (expected corpus size preserved)
+    fracs = {k: n / total for k, n in counts.items()}
+    raw = {k: f ** (tau - 1.0) for k, f in fracs.items()}
+    z = sum(raw[k] * fracs[k] for k in raw)
+    return {k: min(raw[k] / z, float(total_epochs_cap)) for k in raw}
+
+
 def train_val_split(
     documents: DataFrame,
     val_frac: float = 0.01,

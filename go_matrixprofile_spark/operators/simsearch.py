@@ -203,7 +203,9 @@ def knn_lsh_cosine(
 
 
 def ivf_assign(
-    embeddings: DataFrame, n_centroids: int = 16
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic centroids + nearest-centroid
     assignment.
@@ -214,11 +216,19 @@ def ivf_assign(
     re-aggregate). Returns (centroids, assignments) where assignments =
     (vec_id, centroid_id): one broadcast join + per-row argmax over
     n_centroids cosines, all JVM built-ins.
+
+    centroids: a precomputed (centroid_id, ce) table — e.g. from
+    ``load_ann_index`` — to assign against a SAVED quantizer instead
+    of re-deriving one (train once, serve forever).
     """
     from pyspark.sql.window import Window
 
-    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    cents = (
+        centroids
+        if centroids is not None
+        else embeddings.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+        )
     )
     scored = embeddings.crossJoin(F.broadcast(cents)).select(
         "vec_id",
@@ -242,6 +252,7 @@ def knn_ivf_cosine(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: exact cosine restricted to the query's n_probe nearest
     centroid cells. The scale path for embedding search when hyperplane
@@ -249,7 +260,7 @@ def knn_ivf_cosine(
     bound the scanned fraction to n_probe/n_centroids."""
     from pyspark.sql.window import Window
 
-    cents, assigns = ivf_assign(embeddings, n_centroids)
+    cents, assigns = ivf_assign(embeddings, n_centroids, centroids=centroids)
     q_emb = embeddings.where(F.col("vec_id") < n_queries)
     # query → its n_probe closest centroids
     probed = q_emb.crossJoin(F.broadcast(cents)).select(
@@ -359,6 +370,7 @@ def pq_codes(
     dim: int = 64,
     refine: int = 0,
     centroid_round: int | None = None,
+    codebooks: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Product-quantization codebooks + codes (deterministic).
 
@@ -403,6 +415,10 @@ def pq_codes(
     sv = embeddings.select("vec_id", subs).select(
         "vec_id", "e.sub", F.col("e.v").alias("xe")
     )
+    if codebooks is not None:
+        # serve from a SAVED quantizer (load_ann_index): assign codes
+        # against the given (sub, code, ce) table, no seed/refine
+        return codebooks, _pq_assign(sv, codebooks)
     if refine > 0:
         # materialize the subvector explode ONCE: each Lloyd iteration
         # re-reads sv (assignment) and chains joins on the previous cb —
@@ -447,6 +463,7 @@ def knn_pq_adc(
     dim: int = 64,
     refine: int = 0,
     centroid_round: int | None = None,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """PQ ANN via asymmetric distance computation: approximate
     ||q - x||^2 = sum over subvectors of ||q_s - codebook[code_s(x)]||^2.
@@ -463,7 +480,10 @@ def knn_pq_adc(
     sub_len = dim // m_sub
     from pyspark.sql.window import Window
 
-    cb, codes = pq_codes(embeddings, m_sub, k_codes, dim, refine, centroid_round)
+    cb, codes = pq_codes(
+        embeddings, m_sub, k_codes, dim, refine, centroid_round,
+        codebooks=codebooks,
+    )
     q_subs = (
         embeddings.where(F.col("vec_id") < n_queries)
         .select(
@@ -498,3 +518,81 @@ def knn_pq_adc(
         .where(F.col("rank") <= k)
         .select("qid", "rank", "nid", "dist")
     )
+
+
+_ANN_INDEX_VERSION = "ann-index-v1"
+
+
+def save_ann_index(
+    path: str,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> None:
+    """Persist the trained ANN quantizers as a JSON artifact (train
+    once, serve forever — the same persistence surface as the BPE
+    merges artifact, operators/bpe_train.save_merges).
+
+    centroids: an ``ivf_assign`` (centroid_id, ce) table; codebooks: a
+    ``pq_codes`` (sub, code, ce) table. Either may be omitted. Both
+    are PARAMETER tables (tens to thousands of rows — they broadcast
+    in every serving plan), so the artifact is driver bytes, not data:
+    each table folds to ONE driver row via collect_list before the
+    write, never a row-by-row collect of corpus data.
+    """
+    import json
+
+    doc: dict = {"version": _ANN_INDEX_VERSION}
+    if centroids is not None:
+        row = centroids.agg(
+            F.array_sort(
+                F.collect_list(F.struct("centroid_id", "ce"))
+            ).alias("a")
+        ).first()
+        doc["centroids"] = [
+            {"centroid_id": r["centroid_id"], "ce": [float(x) for x in r["ce"]]}
+            for r in (row["a"] or [])
+        ]
+    if codebooks is not None:
+        row = codebooks.agg(
+            F.array_sort(F.collect_list(F.struct("sub", "code", "ce"))).alias("a")
+        ).first()
+        doc["codebooks"] = [
+            {"sub": r["sub"], "code": r["code"], "ce": [float(x) for x in r["ce"]]}
+            for r in (row["a"] or [])
+        ]
+    if "centroids" not in doc and "codebooks" not in doc:
+        raise ValueError("nothing to save: pass centroids and/or codebooks")
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(doc, f)
+
+
+def load_ann_index(
+    spark, path: str
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """Load a ``save_ann_index`` artifact back as (centroids,
+    codebooks) DataFrames (None for an absent table) — feed them to
+    ``knn_ivf_cosine(centroids=...)`` / ``knn_pq_adc(codebooks=...)``
+    to serve against the saved quantizers without retraining. Raises
+    on unknown artifact versions rather than silently mis-indexing."""
+    import json
+
+    with open(path, "r", encoding="utf-8") as f:
+        doc = json.load(f)
+    if doc.get("version") != _ANN_INDEX_VERSION:
+        raise ValueError(
+            f"unsupported ann-index artifact version {doc.get('version')!r} "
+            f"(expected {_ANN_INDEX_VERSION})"
+        )
+    cents = None
+    if "centroids" in doc:
+        cents = spark.createDataFrame(
+            [(r["centroid_id"], [float(x) for x in r["ce"]]) for r in doc["centroids"]],
+            "centroid_id long, ce array<double>",
+        )
+    cb = None
+    if "codebooks" in doc:
+        cb = spark.createDataFrame(
+            [(r["sub"], r["code"], [float(x) for x in r["ce"]]) for r in doc["codebooks"]],
+            "sub int, code long, ce array<double>",
+        )
+    return cents, cb

@@ -20,7 +20,8 @@ Stages (each checkpointed under --output):
      the document-pipeline stages (Gopher repetition stats, exact
      dedup groups, substring-level winnowing dup pairs), checkpointed
      by doc_id bucket so resume works at bucket granularity
-  8. (with --val-frac / --mixture) doc_val — deterministic hash
+  8. (with --val-frac / --mixture / --mixture-tau) doc_val —
+     deterministic hash
      holdout roster — and domain-weighted epoch sampling ahead of
      packing; epoch copies pack as composite streams doc_id*K+epoch
      (decode: doc = id // K, epoch = id % K), and every flag variant
@@ -52,6 +53,8 @@ def main() -> None:
                     help="if >0, deterministically hold out this fraction of corpus docs as validation (doc_val stage) and pack only the train split")
     ap.add_argument("--mixture", default=None,
                     help="JSON {source: epoch_weight} mixture table: up-/down-sample domains before packing (unlisted sources weight 1.0)")
+    ap.add_argument("--mixture-tau", type=float, default=None,
+                    help="derive the mixture table from the docs' domain fractions at this sampling temperature (XLM-R rule, p_d ~ f_d^tau) instead of passing --mixture explicitly")
     ap.add_argument("--mix-seed", type=int, default=0,
                     help="seed for the val-split / mixture hash draws")
     ap.add_argument("--cores", default=None)
@@ -62,10 +65,18 @@ def main() -> None:
         or any(not isinstance(v, (int, float)) or v < 0 for v in mixture_weights.values())
     ):
         raise SystemExit("--mixture must be a JSON object of nonnegative weights")
-    if (mixture_weights is not None or args.val_frac > 0) and not args.docs:
+    if mixture_weights is not None and args.mixture_tau is not None:
+        raise SystemExit("--mixture and --mixture-tau are mutually exclusive")
+    if args.mixture_tau is not None and args.mixture_tau <= 0:
+        raise SystemExit("--mixture-tau must be > 0")
+    if (
+        mixture_weights is not None
+        or args.mixture_tau is not None
+        or args.val_frac > 0
+    ) and not args.docs:
         # these flags only shape the document deliverable: silently
         # ignoring them would look like a (wrong) success
-        raise SystemExit("--mixture/--val-frac require --docs")
+        raise SystemExit("--mixture/--mixture-tau/--val-frac require --docs")
     if args.benchmark and not os.path.exists(args.benchmark):
         # a typo'd eval-set path must FAIL before any compute, not
         # silently ship a contaminated corpus (fail closed, like --input)
@@ -81,7 +92,7 @@ def main() -> None:
 
     spark = get_spark("pipeline", cores=args.cores)
     t_start = time.time()
-    metrics: dict[str, float] = {}
+    metrics: dict[str, object] = {}
 
     if args.input and os.path.isdir(args.input):
         transcripts = spark.read.parquet(args.input)
@@ -163,13 +174,28 @@ def main() -> None:
         from go_matrixprofile_spark.operators.text import repetition_stats
 
         docs = spark.read.parquet(args.docs)
-        if mixture_weights is not None and "source" not in docs.columns:
+        if (
+            mixture_weights is not None or args.mixture_tau is not None
+        ) and "source" not in docs.columns:
             # fail BEFORE any stage computes, like --benchmark: the
             # mixture key is the docs' source/domain column
             raise SystemExit(
-                "--mixture requires a 'source' column in --docs "
-                f"(found: {docs.columns})"
+                "--mixture/--mixture-tau require a 'source' column in "
+                f"--docs (found: {docs.columns})"
             )
+        if args.mixture_tau is not None:
+            # derive the table from the raw docs' domain fractions (one
+            # small agg job); the derived weights land in the variant
+            # tag below, so a corpus change re-derives into a fresh
+            # stage directory instead of resuming the stale packing
+            from go_matrixprofile_spark.operators.mixture import (
+                temperature_weights,
+            )
+
+            mixture_weights = temperature_weights(docs, tau=args.mixture_tau)
+            metrics["mixture_weights"] = {
+                k: round(v, 4) for k, v in sorted(mixture_weights.items())
+            }
         # per-doc partitioning would be one dir per doc; bucket to 64
         stage(
             "doc_quality",

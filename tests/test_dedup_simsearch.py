@@ -561,3 +561,74 @@ class TestPQRefine:
         # the returned codebook reads from a checkpoint, not a join chain
         plan = cb4._jdf.queryExecution().optimizedPlan().toString()
         assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan, plan[:500]
+
+
+class TestAnnIndexArtifact:
+    def test_save_load_serve_roundtrip(self, spark, tmp_path):
+        """Train-once-serve-forever: the saved IVF centroids + PQ
+        codebooks reload into DataFrames that reproduce the EXACT
+        knn results of the freshly-trained quantizers; unknown
+        artifact versions are refused."""
+        import json
+
+        import numpy as np
+        import pandas as pd
+
+        from go_matrixprofile_spark.operators.simsearch import (
+            ivf_assign,
+            knn_ivf_cosine,
+            knn_pq_adc,
+            load_ann_index,
+            pq_codes,
+            save_ann_index,
+        )
+
+        rng = np.random.default_rng(3)
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": range(120),
+                    "embedding": [rng.normal(0, 1, 64).tolist() for _ in range(120)],
+                }
+            )
+        )
+        cents, _ = ivf_assign(emb, n_centroids=8)
+        cb, _ = pq_codes(emb, m_sub=4, k_codes=8, dim=64, refine=1,
+                         centroid_round=6)
+        path = str(tmp_path / "ann.json")
+        save_ann_index(path, centroids=cents, codebooks=cb)
+
+        lc, lcb = load_ann_index(spark, path)
+        fresh_ivf = knn_ivf_cosine(emb, n_queries=4, k=3, n_centroids=8).toPandas()
+        served_ivf = knn_ivf_cosine(
+            emb, n_queries=4, k=3, centroids=lc
+        ).toPandas()
+        key = ["qid", "rank"]
+        pd.testing.assert_frame_equal(
+            fresh_ivf.sort_values(key).reset_index(drop=True),
+            served_ivf.sort_values(key).reset_index(drop=True),
+            check_dtype=False,
+        )
+        # served PQ (loaded refined codebooks, no retraining) == fresh
+        # refined PQ: the refine step is skipped entirely at serve time
+        fresh_pq = knn_pq_adc(
+            emb, n_queries=4, k=3, m_sub=4, k_codes=8, refine=1,
+            centroid_round=6,
+        ).toPandas()
+        served_pq = knn_pq_adc(
+            emb, n_queries=4, k=3, m_sub=4, k_codes=8, codebooks=lcb
+        ).toPandas()
+        pd.testing.assert_frame_equal(
+            fresh_pq.sort_values(key).reset_index(drop=True),
+            served_pq.sort_values(key).reset_index(drop=True),
+            check_dtype=False,
+        )
+        # version gate
+        doc = json.load(open(path))
+        doc["version"] = "ann-index-v999"
+        bad = str(tmp_path / "bad.json")
+        json.dump(doc, open(bad, "w"))
+        with pytest.raises(ValueError, match="version"):
+            load_ann_index(spark, bad)
+        with pytest.raises(ValueError, match="nothing to save"):
+            save_ann_index(str(tmp_path / "empty.json"))

@@ -164,3 +164,57 @@ FROM documents ORDER BY doc_id
 """
         ).df()
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestTemperatureWeights:
+    def test_tau_limits_and_size_preservation(self, spark):
+        """tau=1 → natural distribution (all weights 1); tau<1
+        up-samples rare domains and down-samples the head; the
+        normalization preserves expected corpus size
+        (sum_d w_d * f_d = 1); composing with mixture_sample yields
+        roughly the temperature-reweighted sizes."""
+        from go_matrixprofile_spark.operators.mixture import (
+            mixture_sample,
+            temperature_weights,
+        )
+
+        # skewed corpus: 800 / 150 / 50 docs across three domains
+        rows = (
+            [(i, "head", "x") for i in range(800)]
+            + [(800 + i, "mid", "x") for i in range(150)]
+            + [(950 + i, "tail", "x") for i in range(50)]
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+        w1 = temperature_weights(docs, tau=1.0)
+        assert all(abs(v - 1.0) < 1e-12 for v in w1.values())
+
+        w = temperature_weights(docs, tau=0.3)
+        f = {"head": 0.8, "mid": 0.15, "tail": 0.05}
+        assert w["tail"] > w["mid"] > w["head"]
+        assert w["head"] < 1.0 < w["tail"]
+        assert abs(sum(w[k] * f[k] for k in f) - 1.0) < 1e-12
+        # exact closed form: w_d = f_d^(tau-1) / sum f^tau
+        z = sum(v**0.3 for v in f.values())
+        for k in f:
+            assert abs(w[k] - f[k] ** (0.3 - 1.0) / (z / 1.0)) < 1e-9
+
+        out = mixture_sample(docs, w, seed=11).toPandas()
+        sizes = out.groupby("source")["doc_id"].count()
+        # E[size_d] = w_d * n_d; generous tolerance for the Bernoulli part
+        for k, n_d in (("head", 800), ("mid", 150), ("tail", 50)):
+            assert abs(sizes[k] - w[k] * n_d) <= 4 * (w[k] * n_d) ** 0.5 + 3
+
+    def test_token_weighted_and_cap(self, spark):
+        from go_matrixprofile_spark.operators.mixture import temperature_weights
+
+        docs = spark.createDataFrame(
+            [(0, "a", 10_000), (1, "b", 10)],
+            "doc_id long, source string, n_tokens long",
+        )
+        w = temperature_weights(docs, tau=0.1, token_col="n_tokens",
+                                total_epochs_cap=5.0)
+        assert w["b"] == 5.0  # capped
+        assert w["a"] < 1.0
+        with pytest.raises(ValueError, match="tau"):
+            temperature_weights(docs, tau=0.0)
