@@ -373,3 +373,98 @@ def pack_sequences(
         F.pmod(bucket_src, F.lit(n_buckets)).cast("int").alias("bucket"),
     )
     return staged.groupBy("bucket").applyInPandas(pack, schema)
+
+
+def materialize_sequences(
+    packed: DataFrame,
+    tokenized: DataFrame,
+    budget: int = 2048,
+    vocab: dict[str, int] | None = None,
+    oov_buckets: int = 4096,
+) -> DataFrame:
+    """Turn the packer's accounting table into actual training token
+    streams: one row per sequence with the concatenated tokens of its
+    packed chunks — the tensor-ready deliverable of the document
+    pipeline.
+
+    packed: ``pack_sequences(chunk_col="chunk_idx")`` output (its
+    n_tokens MUST come from the same merges the ``tokenized`` side
+    used); tokenized: ``text.tokenize_bpe`` output (doc_id, tokens).
+    Each chunk row slices ``tokens[chunk_idx*budget : +n_tokens]`` —
+    exactly split_documents' arithmetic — and the per-sequence
+    assembly is one hash aggregation ordered by seq_offset.
+
+    vocab: optional {token: id} table (e.g. enumerate the trained
+    merge products); when given, ``input_ids`` are emitted alongside
+    the token strings — known tokens map through the literal vocab
+    map, everything else (digit runs, punctuation, unseen words)
+    lands deterministically in one of ``oov_buckets`` hash buckets
+    ABOVE the vocab range (ids are never silently aliased onto real
+    vocab entries).
+
+    Plan shape at 100 TB: ONE doc_id hash join (packed chunks x token
+    arrays, both corpus-partitioned) and ONE seq_id aggregation; the
+    token payload crosses the shuffle once. No Python, no window.
+
+    Output: (bucket, seq_id, n_chunks, n_tokens, tokens[, input_ids]).
+    """
+    sliced = packed.join(tokenized.select("doc_id", "tokens"), "doc_id").select(
+        "bucket",
+        "seq_id",
+        "seq_offset",
+        F.slice(
+            "tokens", F.col("chunk_idx").cast("int") * budget + 1, F.col("n_tokens").cast("int")
+        ).alias("chunk_toks"),
+    )
+    seqs = sliced.groupBy("bucket", "seq_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq_offset", "chunk_toks"))),
+                lambda s: s["chunk_toks"],
+            )
+        ).alias("tokens"),
+    )
+    out = seqs.select(
+        "bucket",
+        "seq_id",
+        "n_chunks",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        "tokens",
+    )
+    if vocab is not None:
+        if not vocab:
+            raise ValueError("vocab must be non-empty when given")
+        if len(vocab) != len(set(vocab.values())):
+            raise ValueError("vocab ids must be unique")
+        pairs: list = []
+        for t, i in vocab.items():
+            pairs += [F.lit(t), F.lit(int(i))]
+        vmap = F.create_map(*pairs)
+        base = len(vocab)
+
+        def to_id(tok):
+            h = (
+                F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+                % oov_buckets
+                + base
+            )
+            return F.coalesce(vmap[tok], h).cast("int")
+
+        out = out.withColumn("input_ids", F.transform("tokens", to_id))
+    return out
+
+
+def bpe_vocab(merges) -> dict[str, int]:
+    """Deterministic {token: id} enumeration of a trained merge table:
+    the 26 base letters first, then each merge's product in rank order
+    (duplicate products keep their first rank slot). The natural vocab
+    for ``materialize_sequences(vocab=...)``."""
+    vocab: dict[str, int] = {}
+    for c in "abcdefghijklmnopqrstuvwxyz":
+        vocab[c] = len(vocab)
+    for x, y in merges:
+        prod = x + y
+        if prod not in vocab:
+            vocab[prod] = len(vocab)
+    return vocab

@@ -325,3 +325,53 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         _frac(3, "top").alias("top_3gram_frac"),
         _frac(3, "dup").alias("dup_3gram_frac"),
     )
+
+
+def tokenize_bpe(documents: DataFrame, merges=None) -> DataFrame:
+    """REAL BPE tokenization — the token ARRAYS, not just the counts
+    of :func:`token_counts_bpe` (same pre-tokenizer, same merge
+    chain, proven ≡ the reference tokenizer in functions/bpe.py).
+
+    Each alphabetic pre-token is brace-rendered and run through the
+    rank-ordered replace chain, then split back into its merged
+    symbols; digit runs and punctuation pass through as single
+    tokens in their original positions. Everything is one JVM
+    projection (transform + the literal replace chain inside the
+    lambda) — shuffle-free, no Python per row, same plan class as the
+    counting chain.
+
+    Output: (doc_id, tokens array<string>, n_bpe_tokens), with
+    ``n_bpe_tokens == size(tokens)`` equal to token_counts_bpe's
+    count for every document. Feed to
+    ``corpus.materialize_sequences`` to turn packed sequences into
+    training token streams.
+    """
+    from ..functions.bpe import MERGES
+
+    merges = MERGES if merges is None else merges
+
+    def merge_word(w):
+        s = F.regexp_replace(w, r"(.)", r"{$1}")
+        for x, y in merges:
+            s = F.replace(
+                s, F.lit("{" + x + "}{" + y + "}"), F.lit("{" + x + y + "}")
+            )
+        # "{lo}{w}" splits on "}{" into brace-fringed symbols
+        return F.transform(
+            F.split(s, r"\}\{"), lambda t: F.regexp_replace(t, r"[{}]", "")
+        )
+
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORDISH), 0)
+    toks = F.flatten(
+        F.transform(
+            words,
+            lambda w: F.when(w.rlike("^[a-z]+$"), merge_word(w)).otherwise(
+                F.array(w)
+            ),
+        )
+    )
+    return documents.select(
+        "doc_id",
+        toks.alias("tokens"),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+    )

@@ -27,6 +27,9 @@ Stages (each checkpointed under --output):
      (decode: doc = id // K, epoch = id % K), and every flag variant
      packs into its own stage directory so resume can't serve the
      wrong deliverable
+  9. (with --materialize) doc_seqs — packed sequences assembled into
+     per-sequence token streams + vocab input_ids (the tensor-ready
+     deliverable)
 """
 
 from __future__ import annotations
@@ -57,6 +60,8 @@ def main() -> None:
                     help="derive the mixture table from the docs' domain fractions at this sampling temperature (XLM-R rule, p_d ~ f_d^tau) instead of passing --mixture explicitly")
     ap.add_argument("--mix-seed", type=int, default=0,
                     help="seed for the val-split / mixture hash draws")
+    ap.add_argument("--materialize", action="store_true",
+                    help="also materialize packed sequences into token streams + vocab input_ids (doc_seqs stage)")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
     mixture_weights = json.loads(args.mixture) if args.mixture else None
@@ -77,6 +82,8 @@ def main() -> None:
         # these flags only shape the document deliverable: silently
         # ignoring them would look like a (wrong) success
         raise SystemExit("--mixture/--mixture-tau/--val-frac require --docs")
+    if args.materialize and not args.docs:
+        raise SystemExit("--materialize requires --docs")
     if args.benchmark and not os.path.exists(args.benchmark):
         # a typo'd eval-set path must FAIL before any compute, not
         # silently ship a contaminated corpus (fail closed, like --input)
@@ -342,7 +349,7 @@ def main() -> None:
                 "order_key", shuffle_key(args.mix_seed, F.col("doc_id"))
             )
             order_col = "order_key"
-        stage(
+        packed = stage(
             f"doc_packed{variant}",
             pack_sequences(
                 chunks, budget=2048, token_col="n_tokens",
@@ -350,6 +357,32 @@ def main() -> None:
             ),
             partition_col="bucket",
         )
+        if args.materialize:
+            # the tensor-ready deliverable: per-sequence token streams
+            # (and vocab input_ids) assembled from the packed chunks
+            from go_matrixprofile_spark.functions.bpe import MERGES
+            from go_matrixprofile_spark.operators.corpus import (
+                bpe_vocab,
+                materialize_sequences,
+            )
+            from go_matrixprofile_spark.operators.text import tokenize_bpe
+
+            pk = packed
+            if mixture_weights is not None:
+                # epoch copies carry composite ids; re-key to the
+                # original doc for the token join (all copies of a doc
+                # share one token array)
+                pk = packed.withColumn(
+                    "doc_id", F.floor(F.col("doc_id") / k_copies).cast("long")
+                )
+            stage(
+                f"doc_seqs{variant}",
+                materialize_sequences(
+                    pk, tokenize_bpe(docs), budget=2048,
+                    vocab=bpe_vocab(MERGES),
+                ),
+                partition_col="bucket",
+            )
 
     metrics["total_sec"] = round(time.time() - t_start, 2)
     print(json.dumps(metrics))

@@ -269,3 +269,128 @@ class TestLangID:
         got = lang_id(docs).orderBy("doc_id").toPandas()
         for i, t in enumerate(frags):
             assert got["pred_lang"].iloc[i] == predict(t), t
+
+
+class TestTokenizeBpe:
+    def test_matches_reference_tokenizer(self, spark):
+        """tokenize_bpe emits the ACTUAL token arrays: element-for-
+        element equal to the pure-Python reference (apply_bpe over the
+        same pre-tokenization), with size(tokens) == token_counts_bpe's
+        count on every doc."""
+        import re
+
+        from go_matrixprofile_spark.functions.bpe import MERGES, apply_bpe
+        from go_matrixprofile_spark.operators.text import (
+            token_counts_bpe,
+            tokenize_bpe,
+        )
+
+        texts = [
+            "the lower newest low",
+            "Hello, world! 123 tests...",
+            "punct{brace} and|pipe chars",
+            "a",
+            "mixedCASE Words AND digits 42x7",
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = tokenize_bpe(docs).orderBy("doc_id").toPandas()
+        counts = token_counts_bpe(docs).orderBy("doc_id").toPandas()
+
+        for i, text in enumerate(texts):
+            want = []
+            for tok in re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", text.lower()):
+                if re.fullmatch(r"[a-z]+", tok):
+                    want += apply_bpe(tok, MERGES)
+                else:
+                    want.append(tok)
+            assert list(got["tokens"].iloc[i]) == want, text
+            assert got["n_bpe_tokens"].iloc[i] == len(want)
+            assert counts["n_bpe_tokens"].iloc[i] == len(want)
+
+
+class TestMaterializeSequences:
+    def test_full_chain_token_conservation(self, spark):
+        """split -> pack -> materialize: every sequence's token stream
+        respects the budget, chunk slices reassemble each doc's exact
+        token array, and the optional vocab path emits collision-safe
+        input_ids (OOV ids strictly above the vocab range)."""
+        import pandas as pd
+
+        from go_matrixprofile_spark.operators.corpus import (
+            bpe_vocab,
+            materialize_sequences,
+            pack_sequences,
+            split_documents,
+        )
+        from go_matrixprofile_spark.functions.bpe import MERGES
+        from go_matrixprofile_spark.operators.text import tokenize_bpe
+
+        budget = 16
+        texts = [
+            "the lower newest low here is a longer document with many words "
+            "that will certainly exceed a sixteen token budget and be split",
+            "short one.",
+            "digits 123 and punctuation! also, some commas, and more words "
+            "to push this over the budget line for a second oversized doc",
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        tokenized = tokenize_bpe(docs)
+        acct = tokenized.select(
+            "doc_id", F.col("n_bpe_tokens")
+        )
+        chunks = split_documents(acct, budget=budget)
+        packed = pack_sequences(
+            chunks, budget=budget, n_buckets=4, token_col="n_tokens",
+            chunk_col="chunk_idx",
+        )
+        vocab = bpe_vocab(MERGES)
+        seqs = materialize_sequences(
+            packed, tokenized, budget=budget, vocab=vocab, oov_buckets=64
+        ).toPandas()
+
+        # budget holds for every materialized sequence
+        assert (seqs["n_tokens"] <= budget).all()
+        assert (seqs["n_tokens"] == seqs["tokens"].map(len)).all()
+        # global token conservation: concatenating every sequence's
+        # tokens reproduces the multiset of all docs' tokens
+        all_seq_toks = sorted(t for ts in seqs["tokens"] for t in ts)
+        ref = sorted(
+            t for ts in tokenized.toPandas()["tokens"] for t in ts
+        )
+        assert all_seq_toks == ref
+        # per-doc reassembly: ordered chunk slices == the doc's array
+        tok_pd = tokenized.toPandas().set_index("doc_id")["tokens"]
+        joined = packed.toPandas().sort_values(["doc_id", "chunk_idx"])
+        for d, sub in joined.groupby("doc_id"):
+            rebuilt = []
+            for _, r in sub.iterrows():
+                lo = int(r.chunk_idx) * budget
+                rebuilt += list(tok_pd[d][lo : lo + int(r.n_tokens)])
+            assert rebuilt == list(tok_pd[d]), d
+        # ids: known tokens < len(vocab); OOV (digits/punct) ids in
+        # [len(vocab), len(vocab)+64)
+        nv = len(vocab)
+        for ts, ids in zip(seqs["tokens"], seqs["input_ids"]):
+            for t, i in zip(ts, ids):
+                if t in vocab:
+                    assert i == vocab[t]
+                else:
+                    assert nv <= i < nv + 64
+
+    def test_vocab_validation(self, spark):
+        from go_matrixprofile_spark.operators.corpus import bpe_vocab, materialize_sequences
+
+        import pytest as _pytest
+
+        dummy = spark.createDataFrame([], "doc_id long, chunk_idx int, n_tokens long, bucket int, seq_id long, seq_offset int")
+        toks = spark.createDataFrame([], "doc_id long, tokens array<string>")
+        with _pytest.raises(ValueError, match="non-empty"):
+            materialize_sequences(dummy, toks, vocab={})
+        with _pytest.raises(ValueError, match="unique"):
+            materialize_sequences(dummy, toks, vocab={"a": 1, "b": 1})
+        v = bpe_vocab([("l", "o"), ("lo", "w")])
+        assert v["a"] == 0 and v["lo"] == 26 and v["low"] == 27
