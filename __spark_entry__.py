@@ -400,6 +400,19 @@ def q_split_documents(spark, sf_dir):
     return split_documents(tok, budget=64)
 
 
+def q_tokenize_bpe(spark, sf_dir):
+    """ORACLE-CHECKED BPE tokenization to token ARRAYS (exploded to
+    (doc_id, pos, token) rows for robust cross-engine value hashing):
+    the actual tokenizer surface feeding materialize_sequences, not
+    just the counts — DuckDB runs the identical per-word replace
+    chain inside a list lambda."""
+    from go_matrixprofile_spark.operators.text import tokenize_bpe
+
+    return tokenize_bpe(_documents(spark, sf_dir)).select(
+        "doc_id", F.posexplode("tokens").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+
+
 def q_quality_repetition(spark, sf_dir):
     """ORACLE-CHECKED Gopher-style repetition signals (Rae et al. 2021):
     top-/duplicate-n-gram occurrence fractions for n=1..3 per doc — the
@@ -703,18 +716,6 @@ def q_mp_chunked_oracle(spark, sf_dir):
     )
 
 
-def q_mp_stamp_oracle(spark, sf_dir):
-    """ORACLE-CHECKED STAMP at sample_pct=1.0 (matrixprofile.go:668-756):
-    random row order is value-irrelevant at full sampling, so the
-    quadratic STOMP SQL is the exact oracle."""
-    prof = matrix_profile(
-        _latency40(spark, sf_dir), w=8, opts=MPOpts(algorithm="stamp")
-    )
-    return prof.select(
-        "conv_id", F.col("offset").alias("j"), F.round("mp", 4).alias("mp")
-    )
-
-
 
 def q_mp_motifs_oracle(spark, sf_dir):
     """ORACLE-CHECKED motif discovery (DiscoverMotifs,
@@ -1005,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token_counts (regex count) upgraded to the real-BPE variant in
         # r4; the plain projection stays importable as q_token_counts
         "token_counts_bpe": q_token_counts_bpe,
+        "tokenize_bpe": q_tokenize_bpe,
         "token_counts_bpe_corpus": q_token_counts_bpe_corpus,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1037,7 +1039,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp_motifs_oracle": q_mp_motifs_oracle,
         "mp_chunked_oracle": q_mp_chunked_oracle,
         "mp_ab_chunked_oracle": q_mp_ab_chunked_oracle,
-        "mp_stamp_oracle": q_mp_stamp_oracle,
         # ---- full-scale variants, rows-only by design (6) ----
         # (mp_segments and mp_motifs dropped to keep the dict at the
         # driver's 50-row gate after winnow_dup_pairs and
@@ -1526,6 +1527,7 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """,
         "text_quality": _TEXT_QUALITY_SQL,
         "token_counts_bpe": _TOKEN_BPE_SQL,
+        "tokenize_bpe": _tokenize_bpe_sql(),
         "token_counts_bpe_corpus": _token_bpe_corpus_sql(),
         "lang_id": _LANG_ID_SQL,
         "doc_fingerprint": r"""
@@ -2252,10 +2254,9 @@ FROM s2
     }
     # algorithm variants that must agree value-for-value with an
     # existing quadratic oracle: the tiled/chunked path and MPX share
-    # one spec; STAMP at sample 1.0 shares STOMP's
+    # one spec
     d["mp_chunked_oracle"] = d["mp_mpx_oracle"]
     d["mp_ab_chunked_oracle"] = d["mp_ab_oracle"]
-    d["mp_stamp_oracle"] = d["mp_stomp_oracle"]
     return d
 
 
@@ -2430,6 +2431,37 @@ FROM m
 
 
 _TOKEN_BPE_SQL = _token_bpe_sql()
+
+
+def _tokenize_bpe_sql() -> str:
+    """Token-ARRAY twin of _token_bpe_sql: the identical replace chain
+    applied per word inside a DuckDB list lambda, merged symbols split
+    back out of the brace string, non-alpha pre-tokens passing through
+    in position; parallel unnest zips (pos, token)."""
+    from go_matrixprofile_spark.functions.bpe import MERGES
+
+    chain = r"regexp_replace(w, '(.)', '{\1}', 'g')"
+    for x, y in MERGES:
+        chain = f"replace({chain}, '{{{x}}}{{{y}}}', '{{{x}{y}}}')"
+    return rf"""
+WITH words AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+    flatten(list_transform(ws, w -> CASE WHEN regexp_matches(w, '^[a-z]+$')
+      THEN list_transform(str_split({chain}, '}}{{'),
+                          t -> replace(replace(t, '{{', ''), '}}', ''))
+      ELSE [w] END)) AS toks
+  FROM words
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(1, len(toks))) AS INT) - 1 AS pos,
+       unnest(toks) AS token
+FROM tok
+"""
 
 _TOKEN_BPE_CORPUS_SQL_CACHE: dict[str, str] = {}
 

@@ -522,6 +522,46 @@ def main() -> int:
         )
     )
 
+    # 17. tokenize -> split -> pack -> materialize: the token join is
+    #     the ONLY join, the seq assembly the only aggregation; no
+    #     Python anywhere except the packer's own applyInPandas
+    from go_matrixprofile_spark.operators.corpus import (
+        materialize_sequences,
+        pack_sequences,
+        split_documents,
+    )
+    from go_matrixprofile_spark.operators.text import tokenize_bpe
+
+    tk = tokenize_bpe(pq_docs)
+    p = plan_of(tk)
+    checks.append(
+        (
+            "tokenize_bpe: shuffle-free JVM projection",
+            p,
+            [
+                ("no exchange", "Exchange" not in p),
+                ("no Python eval", "BatchEvalPython" not in p and "InPandas" not in p),
+            ],
+        )
+    )
+    pk = pack_sequences(
+        split_documents(tk.select("doc_id", "n_bpe_tokens"), budget=256),
+        budget=256, n_buckets=8, token_col="n_tokens", chunk_col="chunk_idx",
+    )
+    p = plan_of(materialize_sequences(pk, tk, budget=256))
+    checks.append(
+        (
+            "materialize_sequences: one token join, one seq aggregation, no window",
+            p,
+            [
+                ("has a join", "Join" in p),
+                ("no cartesian", "CartesianProduct" not in p),
+                ("seq agg present", "partial" in p or "HashAggregate" in p or "ObjectHashAggregate" in p),
+                ("no window", "Window" not in p),
+            ],
+        )
+    )
+
     failures = 0
     lines = [
         "# PLANS — physical-plan audit (tools/plan_audit.py)",
