@@ -206,44 +206,75 @@ def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
     centroids: DataFrame | None = None,
+    refine: int = 0,
+    centroid_round: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic centroids + nearest-centroid
     assignment.
 
-    Centroids are the first n_centroids vectors by vec_id — a
-    deterministic, engine-portable choice (a k-means refinement would
-    orbit these same plans: broadcast centroids, argmax-cosine assign,
-    re-aggregate). Returns (centroids, assignments) where assignments =
-    (vec_id, centroid_id): one broadcast join + per-row argmax over
-    n_centroids cosines, all JVM built-ins.
+    Seed centroids are the first n_centroids vectors by vec_id — a
+    deterministic, engine-portable choice. ``refine`` > 0 runs that
+    many Lloyd (spherical k-means) iterations on top: argmax-cosine
+    assign, recompute each cell's centroid as the element-wise mean of
+    its members (posexplode → per-position avg, optionally quantized
+    via ``centroid_round`` for cross-engine reproducibility — the same
+    discipline as ``pq_codes``), empty cells keep their previous
+    centroid. Every step is the same broadcast + partial-agg plan —
+    no driver-side data; per-iteration localCheckpoint bounds lineage.
+
+    Returns (centroids, assignments) where assignments = (vec_id,
+    centroid_id): one broadcast join + per-row argmax over n_centroids
+    cosines, all JVM built-ins.
 
     centroids: a precomputed (centroid_id, ce) table — e.g. from
     ``load_ann_index`` — to assign against a SAVED quantizer instead
-    of re-deriving one (train once, serve forever).
+    of re-deriving one (train once, serve forever); ``refine`` is
+    ignored when given.
     """
     from pyspark.sql.window import Window
 
-    cents = (
-        centroids
-        if centroids is not None
-        else embeddings.where(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    def assign_to(cents_df: DataFrame) -> DataFrame:
+        scored = embeddings.crossJoin(F.broadcast(cents_df)).select(
+            "vec_id",
+            "centroid_id",
+            F.round(_cosine(F.col("embedding"), F.col("ce")), 6).alias("sim"),
         )
+        w_ = Window.partitionBy("vec_id").orderBy(
+            F.col("sim").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w_))
+            .where("rn = 1")
+            .select("vec_id", "centroid_id")
+        )
+
+    if centroids is not None:
+        return centroids, assign_to(centroids)
+    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
     )
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "centroid_id",
-        F.round(_cosine(F.col("embedding"), F.col("ce")), 6).alias("sim"),
-    )
-    w_ = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("centroid_id").asc()
-    )
-    assigns = (
-        scored.withColumn("rn", F.row_number().over(w_))
-        .where("rn = 1")
-        .select("vec_id", "centroid_id")
-    )
-    return cents, assigns
+    for _ in range(refine):
+        members = embeddings.join(assign_to(cents), "vec_id").select(
+            "centroid_id", F.posexplode("embedding").alias("pos", "v")
+        )
+        mean_v = F.avg(F.col("v").cast("double"))
+        if centroid_round is not None:
+            mean_v = F.round(mean_v, centroid_round)
+        means = members.groupBy("centroid_id", "pos").agg(mean_v.alias("mv"))
+        new_ce = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s["mv"],
+            ).alias("nce")
+        )
+        cents = (
+            cents.join(new_ce, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("nce", "ce").alias("ce")
+            )
+            .localCheckpoint(eager=True)  # truncate per-iteration lineage
+        )
+    return cents, assign_to(cents)
 
 
 def knn_ivf_cosine(
@@ -253,6 +284,8 @@ def knn_ivf_cosine(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroids: DataFrame | None = None,
+    refine: int = 0,
+    centroid_round: int | None = None,
 ) -> DataFrame:
     """IVF ANN: exact cosine restricted to the query's n_probe nearest
     centroid cells. The scale path for embedding search when hyperplane
@@ -260,7 +293,10 @@ def knn_ivf_cosine(
     bound the scanned fraction to n_probe/n_centroids."""
     from pyspark.sql.window import Window
 
-    cents, assigns = ivf_assign(embeddings, n_centroids, centroids=centroids)
+    cents, assigns = ivf_assign(
+        embeddings, n_centroids, centroids=centroids,
+        refine=refine, centroid_round=centroid_round,
+    )
     q_emb = embeddings.where(F.col("vec_id") < n_queries)
     # query → its n_probe closest centroids
     probed = q_emb.crossJoin(F.broadcast(cents)).select(

@@ -632,3 +632,80 @@ class TestAnnIndexArtifact:
             load_ann_index(spark, bad)
         with pytest.raises(ValueError, match="nothing to save"):
             save_ann_index(str(tmp_path / "empty.json"))
+
+
+class TestIvfRefine:
+    def test_lloyd_refinement_recovers_clusters(self, spark, tmp_path):
+        """Spherical k-means on the IVF centroids: refined assignments
+        recover planted clusters the first-N seed centroids mix up,
+        the mean best-cosine objective is non-decreasing in refine
+        depth, and saved refined centroids serve identically."""
+        import numpy as np
+        import pandas as pd
+
+        from go_matrixprofile_spark.operators.simsearch import (
+            ivf_assign,
+            knn_ivf_cosine,
+            load_ann_index,
+            save_ann_index,
+        )
+
+        rng = np.random.default_rng(17)
+        # 3 well-separated direction clusters, 40 vectors each,
+        # interleaved so the first-3 seed centroids are NOT one per
+        # cluster-representative order
+        bases = [rng.normal(0, 1, 32) for _ in range(3)]
+        bases = [b / np.linalg.norm(b) for b in bases]
+        rows = []
+        for i in range(120):
+            c = i % 3
+            v = bases[c] + rng.normal(0, 0.05, 32)
+            rows.append((i, c, v.tolist()))
+        emb = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "true_c", "embedding"])
+        ).select("vec_id", "embedding")
+        truth = {i: i % 3 for i in range(120)}
+
+        def mean_best_sim(refine):
+            import pyspark.sql.functions as F
+            from go_matrixprofile_spark.operators.simsearch import _cosine
+
+            cents, assigns = ivf_assign(
+                emb, n_centroids=3, refine=refine, centroid_round=6
+            )
+            joined = (
+                emb.join(assigns, "vec_id")
+                .join(cents, "centroid_id")
+                .select(_cosine(F.col("embedding"), F.col("ce")).alias("s"))
+            )
+            return joined.agg(F.avg("s")).first()[0], assigns.toPandas()
+
+        s0, a0 = mean_best_sim(0)
+        s1, a1 = mean_best_sim(1)
+        s3, a3 = mean_best_sim(3)
+        assert s1 >= s0 - 1e-9 and s3 >= s1 - 1e-9
+        # refined assignment is cluster-pure: each centroid maps to one
+        # true cluster bijectively
+        a3["truth"] = a3["vec_id"].map(truth)
+        purity = a3.groupby("centroid_id")["truth"].nunique()
+        assert (purity == 1).all()
+        assert a3.groupby("truth")["centroid_id"].nunique().eq(1).all()
+
+        # artifact roundtrip of REFINED centroids serves identically
+        cents, _ = ivf_assign(emb, n_centroids=3, refine=3, centroid_round=6)
+        path = str(tmp_path / "ivf.json")
+        save_ann_index(path, centroids=cents)
+        lc, _ = load_ann_index(spark, path)
+        fresh = knn_ivf_cosine(
+            emb, n_queries=3, k=4, n_centroids=3, n_probe=1, refine=3,
+            centroid_round=6,
+        ).toPandas()
+        served = knn_ivf_cosine(
+            emb, n_queries=3, k=4, n_probe=1, centroids=lc
+        ).toPandas()
+        key = ["qid", "rank"]
+        pd.testing.assert_frame_equal(
+            fresh.sort_values(key).reset_index(drop=True),
+            served.sort_values(key).reset_index(drop=True),
+            check_dtype=False,
+        )
