@@ -400,6 +400,27 @@ def q_split_documents(spark, sf_dir):
     return split_documents(tok, budget=64)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """ORACLE-CHECKED greedy sequence packing — the full accounting
+    chain (real-BPE counts -> budget chunking -> salted-bucket greedy
+    pack): every (doc, chunk) row's (bucket, seq_id, seq_offset)
+    assignment hash-matches a DuckDB recursive-CTE replay of the
+    identical greedy walk (one frontier row per bucket per step)."""
+    from go_matrixprofile_spark.operators.corpus import (
+        pack_sequences,
+        split_documents,
+    )
+
+    tok = TX.token_counts_bpe(_documents(spark, sf_dir)).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    chunks = split_documents(tok, budget=64)
+    return pack_sequences(
+        chunks, budget=64, n_buckets=8, token_col="n_tokens",
+        chunk_col="chunk_idx",
+    )
+
+
 def q_tokenize_bpe(spark, sf_dir):
     """ORACLE-CHECKED BPE tokenization to token ARRAYS (exploded to
     (doc_id, pos, token) rows for robust cross-engine value hashing):
@@ -837,19 +858,6 @@ def q_pmp_oracle(spark, sf_dir):
     return prof.select("conv_id", "w", "offset", F.round("mp", 4).alias("mp"))
 
 
-def q_mp_ab_chunked_oracle(spark, sf_dir):
-    """ORACLE-CHECKED tiled AB-join: matrix_profile_ab_chunked must
-    reproduce the same values as the whole-series AB join — the oracle
-    is the identical quadratic SQL as mp_ab_oracle."""
-    from go_matrixprofile_spark.operators.profile import matrix_profile_ab_chunked
-
-    prof = matrix_profile_ab_chunked(
-        _latency40(spark, sf_dir), _textlen40(spark, sf_dir), w=8, tile_points=16
-    )
-    return prof.select(
-        "conv_id", "direction", "offset", F.round("mp", 4).alias("mp")
-    )
-
 
 def q_mp_av_discords_oracle(spark, sf_dir):
     """ORACLE-CHECKED annotation-vector discovery: the complexity AV
@@ -1016,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "corpus_build": q_corpus_build,
         "split_documents": q_split_documents,
+        "pack_sequences": q_pack_sequences,
         "quality_repetition": q_quality_repetition,
         "knn_brute_cosine": q_knn_brute_cosine,
         "knn_lsh_cosine": q_knn_lsh_cosine,
@@ -1038,7 +1047,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmp_oracle": q_kmp_oracle,
         "mp_motifs_oracle": q_mp_motifs_oracle,
         "mp_chunked_oracle": q_mp_chunked_oracle,
-        "mp_ab_chunked_oracle": q_mp_ab_chunked_oracle,
         # ---- full-scale variants, rows-only by design (6) ----
         # (mp_segments and mp_motifs dropped to keep the dict at the
         # driver's 50-row gate after winnow_dup_pairs and
@@ -1650,6 +1658,50 @@ SELECT doc_id, chunk_idx,
          AS n_tokens
 FROM chunks
 """,
+        "pack_sequences": f"""
+WITH RECURSIVE tok AS ({_TOKEN_BPE_SQL}),
+chunks AS (
+  SELECT doc_id, n_bpe_tokens,
+         CAST(unnest(generate_series(
+           0, CAST(greatest(ceil(n_bpe_tokens / 64.0), 1) AS BIGINT) - 1
+         )) AS INT) AS chunk_idx
+  FROM tok
+),
+sized AS (
+  SELECT doc_id, chunk_idx,
+         CAST(least(64, n_bpe_tokens - chunk_idx * CAST(64 AS BIGINT)) AS BIGINT)
+           AS n_tokens,
+         CAST(doc_id % 8 AS INT) AS bucket
+  FROM chunks
+),
+nr AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id, chunk_idx) AS rn
+  FROM sized
+),
+walk AS (
+  SELECT bucket, rn, doc_id, chunk_idx, n_tokens,
+         CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS off,
+         CASE WHEN n_tokens >= 64 THEN CAST(0 AS BIGINT) ELSE n_tokens END AS fill,
+         CASE WHEN n_tokens >= 64 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS nseq
+  FROM nr WHERE rn = 1
+  UNION ALL
+  SELECT r.bucket, r.rn, r.doc_id, r.chunk_idx, r.n_tokens,
+         CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 64
+              THEN w.nseq + 1 ELSE w.nseq END,
+         CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 64
+              THEN CAST(0 AS BIGINT) ELSE w.fill END,
+         CASE WHEN (CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 64 THEN 0 ELSE w.fill END) + r.n_tokens >= 64
+              THEN CAST(0 AS BIGINT)
+              ELSE (CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 64 THEN 0 ELSE w.fill END) + r.n_tokens END,
+         CASE WHEN (CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 64 THEN 0 ELSE w.fill END) + r.n_tokens >= 64
+              THEN (CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 64 THEN w.nseq + 1 ELSE w.nseq END) + 1
+              ELSE (CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 64 THEN w.nseq + 1 ELSE w.nseq END) END
+  FROM walk w JOIN nr r ON r.bucket = w.bucket AND r.rn = w.rn + 1
+)
+SELECT doc_id, chunk_idx, n_tokens, bucket,
+       (CAST(bucket AS BIGINT) << 40) + seq AS seq_id, off AS seq_offset
+FROM walk
+""",
         "quality_repetition": _REPETITION_SQL,
         "mp_stomp_oracle": f"""
 WITH {_LAT40},
@@ -2256,7 +2308,6 @@ FROM s2
     # existing quadratic oracle: the tiled/chunked path and MPX share
     # one spec
     d["mp_chunked_oracle"] = d["mp_mpx_oracle"]
-    d["mp_ab_chunked_oracle"] = d["mp_ab_oracle"]
     return d
 
 
