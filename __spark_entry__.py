@@ -1068,9 +1068,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is value-checked by kmp_oracle and the function stays
         # importable for ad-hoc full-scale runs)
         # (mp_ab_join dropped for the 50-row gate when knn_pq_adc joined
-        # the value-checked block: the AB path is doubly value-checked by
-        # mp_ab_oracle AND mp_ab_chunked_oracle; mpdist_pairs dropped
-        # when knn_pq_adc_refined joined — MPDist is value-checked by
+        # the value-checked block: the AB path stays value-checked by
+        # mp_ab_oracle — mp_ab_chunked_oracle later ceded its row in the
+        # round-5 twin swaps, with the tiled AB path pytest-pinned by
+        # test_ab_tiles_equal_whole; mpdist_pairs dropped when
+        # knn_pq_adc_refined joined — MPDist is value-checked by
         # mpdist_oracle)
         # (mp_transcript_corpus dropped for the 50-row gate when
         # token_counts_bpe_corpus joined the value-checked block: the

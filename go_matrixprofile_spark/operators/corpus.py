@@ -408,14 +408,39 @@ def materialize_sequences(
 
     Output: (bucket, seq_id, n_chunks, n_tokens, tokens[, input_ids]).
     """
-    sliced = packed.join(tokenized.select("doc_id", "tokens"), "doc_id").select(
-        "bucket",
-        "seq_id",
-        "seq_offset",
-        F.slice(
-            "tokens", F.col("chunk_idx").cast("int") * budget + 1, F.col("n_tokens").cast("int")
-        ).alias("chunk_toks"),
+    # LEFT join + loud guards, not an inner join: a packed chunk whose
+    # doc is missing from the tokenized side (caller passed a filtered
+    # or different corpus), or whose token array is shorter than the
+    # packer's accounting says, would otherwise assemble a silently
+    # SHORT sequence — the same silent-vanish class split_documents
+    # fails loudly on
+    raw_slice = F.slice(
+        "tokens", F.col("chunk_idx").cast("int") * budget + 1,
+        F.col("n_tokens").cast("int"),
     )
+    guarded = F.when(
+        F.col("tokens").isNull(),
+        F.assert_true(
+            F.lit(False),
+            "materialize_sequences: packed doc_id missing from tokenized "
+            "(different corpus / missing composite re-key?)",
+        ).cast("array<string>"),
+    ).otherwise(
+        F.when(
+            F.size(raw_slice) == F.col("n_tokens").cast("int"),
+            raw_slice,
+        ).otherwise(
+            F.assert_true(
+                F.lit(False),
+                "materialize_sequences: token array shorter than the "
+                "packed accounting (mismatched merges between packed "
+                "n_tokens and tokenized?)",
+            ).cast("array<string>")
+        )
+    )
+    sliced = packed.join(
+        tokenized.select("doc_id", "tokens"), "doc_id", "left"
+    ).select("bucket", "seq_id", "seq_offset", guarded.alias("chunk_toks"))
     seqs = sliced.groupBy("bucket", "seq_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_chunks"),
         F.flatten(
@@ -443,12 +468,11 @@ def materialize_sequences(
         vmap = F.create_map(*pairs)
         base = len(vocab)
 
+        from .mixture import _md5_key
+
         def to_id(tok):
-            h = (
-                F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
-                % oov_buckets
-                + base
-            )
+            # the repo's one portable md5->int32 idiom (mixture/dedup)
+            h = _md5_key("oov", tok) % oov_buckets + base
             return F.coalesce(vmap[tok], h).cast("int")
 
         out = out.withColumn("input_ids", F.transform("tokens", to_id))

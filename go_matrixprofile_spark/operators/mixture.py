@@ -164,9 +164,16 @@ def temperature_weights(
         else F.count(F.lit(1)).cast("double")
     )
     # two-level agg folds the per-domain table (tens of rows) into ONE
-    # driver row — a scalar fetch, not a data collect
+    # driver row — a scalar fetch, not a data collect. NULL domains are
+    # folded into a sentinel key (map_from_entries forbids null keys);
+    # mixture_sample gives those docs default_weight, so they are
+    # excluded from the returned table and held at weight 1 in the
+    # size-preserving normalization below.
+    null_key = "\x00__null_domain__"
     row = (
-        documents.groupBy(F.col(key_col).alias("k"))
+        documents.groupBy(
+            F.coalesce(F.col(key_col), F.lit(null_key)).alias("k")
+        )
         .agg(agg.alias("n"))
         .agg(F.map_from_entries(F.collect_list(F.struct("k", "n"))).alias("m"))
         .first()
@@ -175,11 +182,15 @@ def temperature_weights(
     total = sum(counts.values())
     if not total:
         return {}
+    f_null = counts.pop(null_key, 0.0) / total
+    if not counts:
+        return {}
     # w_d = p_d / f_d with p_d ∝ f_d^tau  ==>  w_d ∝ f_d^(tau-1),
-    # normalized so sum_d w_d f_d = 1 (expected corpus size preserved)
+    # normalized so sum_d w_d f_d + 1·f_null = 1 (expected corpus size
+    # preserved, null-domain docs pinned at mixture_sample's default)
     fracs = {k: n / total for k, n in counts.items()}
     raw = {k: f ** (tau - 1.0) for k, f in fracs.items()}
-    z = sum(raw[k] * fracs[k] for k in raw)
+    z = sum(raw[k] * fracs[k] for k in raw) / max(1.0 - f_null, 1e-12)
     return {k: min(raw[k] / z, float(total_epochs_cap)) for k in raw}
 
 

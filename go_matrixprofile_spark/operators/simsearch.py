@@ -202,6 +202,34 @@ def knn_lsh_cosine(
     )
 
 
+def _lloyd_mean_update(
+    elems: DataFrame, keys: list[str], prev: DataFrame,
+    centroid_round: int | None,
+) -> DataFrame:
+    """One Lloyd mean step shared by the IVF and PQ refiners: per-key
+    element-wise mean of assigned member positions (optionally
+    quantized for cross-engine reproducibility), empty cells keep the
+    previous centroid, lineage truncated per iteration.
+
+    elems: (*keys, pos, v) exploded member positions; prev: the
+    (*keys, ce) table being refined."""
+    mean_v = F.avg(F.col("v").cast("double"))
+    if centroid_round is not None:
+        mean_v = F.round(mean_v, centroid_round)
+    means = elems.groupBy(*keys, "pos").agg(mean_v.alias("mv"))
+    new_ce = means.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+            lambda s: s["mv"],
+        ).alias("nce")
+    )
+    return (
+        prev.join(new_ce, keys, "left")
+        .select(*keys, F.coalesce("nce", "ce").alias("ce"))
+        .localCheckpoint(eager=True)  # truncate per-iteration lineage
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -234,10 +262,20 @@ def ivf_assign(
     from pyspark.sql.window import Window
 
     def assign_to(cents_df: DataFrame) -> DataFrame:
+        # dim guard: wrong-dimension centroids (e.g. a stale artifact)
+        # would null-pad every cosine into NULL and rank garbage
+        sim = F.when(
+            F.size("embedding") == F.size("ce"),
+            F.round(_cosine(F.col("embedding"), F.col("ce")), 6),
+        ).otherwise(
+            F.assert_true(
+                F.lit(False),
+                "centroid dimension != embedding dimension "
+                "(artifact from a different embedding space?)",
+            ).cast("double")
+        )
         scored = embeddings.crossJoin(F.broadcast(cents_df)).select(
-            "vec_id",
-            "centroid_id",
-            F.round(_cosine(F.col("embedding"), F.col("ce")), 6).alias("sim"),
+            "vec_id", "centroid_id", sim.alias("sim")
         )
         w_ = Window.partitionBy("vec_id").orderBy(
             F.col("sim").desc(), F.col("centroid_id").asc()
@@ -257,23 +295,7 @@ def ivf_assign(
         members = embeddings.join(assign_to(cents), "vec_id").select(
             "centroid_id", F.posexplode("embedding").alias("pos", "v")
         )
-        mean_v = F.avg(F.col("v").cast("double"))
-        if centroid_round is not None:
-            mean_v = F.round(mean_v, centroid_round)
-        means = members.groupBy("centroid_id", "pos").agg(mean_v.alias("mv"))
-        new_ce = means.groupBy("centroid_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-                lambda s: s["mv"],
-            ).alias("nce")
-        )
-        cents = (
-            cents.join(new_ce, "centroid_id", "left")
-            .select(
-                "centroid_id", F.coalesce("nce", "ce").alias("ce")
-            )
-            .localCheckpoint(eager=True)  # truncate per-iteration lineage
-        )
+        cents = _lloyd_mean_update(members, ["centroid_id"], cents, centroid_round)
     return cents, assign_to(cents)
 
 
@@ -453,8 +475,24 @@ def pq_codes(
     )
     if codebooks is not None:
         # serve from a SAVED quantizer (load_ann_index): assign codes
-        # against the given (sub, code, ce) table, no seed/refine
-        return codebooks, _pq_assign(sv, codebooks)
+        # against the given (sub, code, ce) table, no seed/refine.
+        # Shape guard: a codebook trained with different (dim, m_sub)
+        # would zip_with-null-pad every distance into NULL and return
+        # plausible garbage — fail loudly instead
+        checked = codebooks.select(
+            "sub",
+            "code",
+            F.when(F.size("ce") == sub_len, F.col("ce"))
+            .otherwise(
+                F.assert_true(
+                    F.lit(False),
+                    f"codebook entry length != dim/m_sub = {sub_len} "
+                    "(artifact trained with different dim/m_sub?)",
+                ).cast("array<double>")
+            )
+            .alias("ce"),
+        )
+        return checked, _pq_assign(sv, checked)
     if refine > 0:
         # materialize the subvector explode ONCE: each Lloyd iteration
         # re-reads sv (assignment) and chains joins on the previous cb —
@@ -463,29 +501,14 @@ def pq_codes(
         # (r03 verdict nit #1)
         sv = sv.localCheckpoint(eager=True)
     for _ in range(refine):
+        # quantized centroid means (centroid_round) make the refined
+        # assignment reproducible bit-for-bit across engines — used by
+        # the cross-engine oracle query
         assigned = sv.join(_pq_assign(sv, cb), ["vec_id", "sub"])
         elems = assigned.select(
             "sub", "code", F.posexplode("xe").alias("pos", "v")
         )
-        mean_v = F.avg(F.col("v").cast("double"))
-        if centroid_round is not None:
-            # quantized centroid means: makes the refined assignment
-            # reproducible bit-for-bit across engines (summation order
-            # differs between Spark partial aggs and a serial engine);
-            # used by the cross-engine oracle query
-            mean_v = F.round(mean_v, centroid_round)
-        means = elems.groupBy("sub", "code", "pos").agg(mean_v.alias("mv"))
-        new_ce = means.groupBy("sub", "code").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-                lambda s: s["mv"],
-            ).alias("nce")
-        )
-        cb = (
-            cb.join(new_ce, ["sub", "code"], "left")
-            .select("sub", "code", F.coalesce("nce", "ce").alias("ce"))
-            .localCheckpoint(eager=True)  # truncate per-iteration lineage
-        )
+        cb = _lloyd_mean_update(elems, ["sub", "code"], cb, centroid_round)
     codes = _pq_assign(sv, cb)
     return cb, codes
 
@@ -577,7 +600,7 @@ def save_ann_index(
     """
     import json
 
-    doc: dict = {"version": _ANN_INDEX_VERSION}
+    doc: dict = {"version": _ANN_INDEX_VERSION, "shapes": {}}
     if centroids is not None:
         row = centroids.agg(
             F.array_sort(
@@ -588,6 +611,9 @@ def save_ann_index(
             {"centroid_id": r["centroid_id"], "ce": [float(x) for x in r["ce"]]}
             for r in (row["a"] or [])
         ]
+        if doc["centroids"]:
+            doc["shapes"]["n_centroids"] = len(doc["centroids"])
+            doc["shapes"]["dim"] = len(doc["centroids"][0]["ce"])
     if codebooks is not None:
         row = codebooks.agg(
             F.array_sort(F.collect_list(F.struct("sub", "code", "ce"))).alias("a")
@@ -596,6 +622,13 @@ def save_ann_index(
             {"sub": r["sub"], "code": r["code"], "ce": [float(x) for x in r["ce"]]}
             for r in (row["a"] or [])
         ]
+        if doc["codebooks"]:
+            subs = {r["sub"] for r in doc["codebooks"]}
+            doc["shapes"]["m_sub"] = len(subs)
+            doc["shapes"]["sub_len"] = len(doc["codebooks"][0]["ce"])
+            doc["shapes"]["k_codes"] = sum(
+                1 for r in doc["codebooks"] if r["sub"] == min(subs)
+            )
     if "centroids" not in doc and "codebooks" not in doc:
         raise ValueError("nothing to save: pass centroids and/or codebooks")
     with open(path, "w", encoding="utf-8") as f:

@@ -84,6 +84,10 @@ def main() -> None:
         raise SystemExit("--mixture/--mixture-tau/--val-frac require --docs")
     if args.materialize and not args.docs:
         raise SystemExit("--materialize requires --docs")
+    if args.docs and not os.path.exists(args.docs):
+        # fail closed like --benchmark: a typo'd docs path must not
+        # silently skip every doc stage and exit 0
+        raise SystemExit(f"--docs {args.docs} does not exist")
     if args.benchmark and not os.path.exists(args.benchmark):
         # a typo'd eval-set path must FAIL before any compute, not
         # silently ship a contaminated corpus (fail closed, like --input)
@@ -171,7 +175,7 @@ def main() -> None:
     stage("segments", segments)
     stage("compressed", compress_series(series.where("metric = 'text_len'")))
 
-    if args.docs and os.path.exists(args.docs):
+    if args.docs:
         from pyspark.sql import functions as F
 
         from go_matrixprofile_spark.operators.dedup import (
@@ -371,9 +375,11 @@ def main() -> None:
             if mixture_weights is not None:
                 # epoch copies carry composite ids; re-key to the
                 # original doc for the token join (all copies of a doc
-                # share one token array)
+                # share one token array). INTEGER division — a float
+                # floor() loses exactness above 2^53 and would attach
+                # the wrong document's tokens for hash-derived ids
                 pk = packed.withColumn(
-                    "doc_id", F.floor(F.col("doc_id") / k_copies).cast("long")
+                    "doc_id", F.expr(f"doc_id div {k_copies}")
                 )
             stage(
                 f"doc_seqs{variant}",

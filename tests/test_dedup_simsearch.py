@@ -709,3 +709,58 @@ class TestIvfRefine:
             served.sort_values(key).reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestAnnShapeGuards:
+    def test_mismatched_artifact_fails_loudly(self, spark, tmp_path):
+        """Serving a saved quantizer with mismatched shape parameters
+        raises instead of ranking all-NULL distances into plausible
+        garbage (dim guard for IVF centroids, sub_len guard for PQ
+        codebooks); the artifact records its shapes."""
+        import json
+
+        import numpy as np
+        import pandas as pd
+        import pytest as _pytest
+
+        from go_matrixprofile_spark.operators.simsearch import (
+            ivf_assign,
+            knn_ivf_cosine,
+            knn_pq_adc,
+            load_ann_index,
+            pq_codes,
+            save_ann_index,
+        )
+
+        rng = np.random.default_rng(5)
+        emb64 = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": range(40),
+                    "embedding": [rng.normal(0, 1, 64).tolist() for _ in range(40)],
+                }
+            )
+        )
+        cents, _ = ivf_assign(emb64, n_centroids=4)
+        cb, _ = pq_codes(emb64, m_sub=8, k_codes=8, dim=64)
+        path = str(tmp_path / "ann.json")
+        save_ann_index(path, centroids=cents, codebooks=cb)
+        shapes = json.load(open(path))["shapes"]
+        assert shapes == {
+            "n_centroids": 4, "dim": 64, "m_sub": 8, "sub_len": 8, "k_codes": 8,
+        }
+        lc, lcb = load_ann_index(spark, path)
+        # wrong m_sub at serve time (trained 8, served 4 -> sub_len 16 != 8)
+        with _pytest.raises(Exception, match="dim/m_sub|assert"):
+            knn_pq_adc(emb64, n_queries=2, k=2, m_sub=4, codebooks=lcb).count()
+        # wrong embedding dim vs saved centroids
+        emb32 = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": range(40),
+                    "embedding": [rng.normal(0, 1, 32).tolist() for _ in range(40)],
+                }
+            )
+        )
+        with _pytest.raises(Exception, match="dimension|assert"):
+            knn_ivf_cosine(emb32, n_queries=2, k=2, centroids=lc).count()

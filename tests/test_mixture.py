@@ -218,3 +218,24 @@ class TestTemperatureWeights:
         assert w["a"] < 1.0
         with pytest.raises(ValueError, match="tau"):
             temperature_weights(docs, tau=0.0)
+
+    def test_null_domain_tolerated(self, spark):
+        """Docs with a NULL source must not crash the aggregation
+        (map_from_entries forbids null keys): null-domain docs stay at
+        mixture_sample's default weight 1 and the size-preserving
+        normalization accounts for their mass."""
+        from go_matrixprofile_spark.operators.mixture import temperature_weights
+
+        rows = (
+            [(i, "head", "x") for i in range(600)]
+            + [(600 + i, "tail", "x") for i in range(100)]
+            + [(700 + i, None, "x") for i in range(300)]
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        w = temperature_weights(docs, tau=0.3)
+        assert set(w) == {"head", "tail"}
+        assert w["tail"] > w["head"]
+        # expected output size == input size: w·f over named domains
+        # plus the null mass at weight 1
+        f = {"head": 0.6, "tail": 0.1}
+        assert abs(sum(w[k] * f[k] for k in f) + 0.3 - 1.0) < 1e-12

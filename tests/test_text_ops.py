@@ -394,3 +394,30 @@ class TestMaterializeSequences:
             materialize_sequences(dummy, toks, vocab={"a": 1, "b": 1})
         v = bpe_vocab([("l", "o"), ("lo", "w")])
         assert v["a"] == 0 and v["lo"] == 26 and v["low"] == 27
+
+    def test_missing_doc_fails_loudly(self, spark):
+        """A packed chunk whose doc is absent from the tokenized side
+        raises (left-join guard) instead of silently assembling a
+        short sequence."""
+        import pytest as _pytest
+
+        from go_matrixprofile_spark.operators.corpus import materialize_sequences
+
+        packed = spark.createDataFrame(
+            [(0, 0, 5, 0, 0, 0), (99, 0, 5, 0, 0, 5)],
+            "doc_id long, chunk_idx int, n_tokens long, bucket int, seq_id long, seq_offset long",
+        )
+        toks = spark.createDataFrame(
+            [(0, ["a", "b", "c", "d", "e"])], "doc_id long, tokens array<string>"
+        )
+        with _pytest.raises(Exception, match="missing from tokenized|assert"):
+            # toPandas, not count: a count lets Catalyst prune the
+            # guarded column and the assert never evaluates
+            materialize_sequences(packed, toks, budget=16).toPandas()
+        # and a too-short token array is equally loud
+        short = spark.createDataFrame(
+            [(0, ["a", "b"]), (99, ["x"] * 5)],
+            "doc_id long, tokens array<string>",
+        )
+        with _pytest.raises(Exception, match="shorter than|assert"):
+            materialize_sequences(packed, short, budget=16).toPandas()
