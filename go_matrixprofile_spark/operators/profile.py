@@ -99,23 +99,36 @@ def cpu_partitions(df: DataFrame, factor: int = 3) -> int:
     return df.sparkSession.sparkContext.defaultParallelism * factor
 
 
-def assemble_series(series: DataFrame, value_col: str = "value") -> DataFrame:
+def assemble_series(
+    series: DataFrame, value_col: str = "value", repartition: bool = True
+) -> DataFrame:
     """Collapse a long-format series table to one array row per
     (conv_id, metric), sorted by bucket.
 
     This runs entirely JVM-side (shuffle + array_sort + transform), so
     the per-conv exchange ships compact array rows instead of millions
     of long-format rows through the Arrow/pandas boundary — measured
-    ~2-3x faster end-to-end for the MP operators. The pre-repartition
-    pins the exchange width for the downstream kernel stage (see
-    cpu_partitions)."""
-    src = series.repartition(cpu_partitions(series), "conv_id", "metric")
-    return src.groupBy("conv_id", "metric").agg(
+    ~2-3x faster end-to-end for the MP operators.
+
+    Plan shape (r06): the aggregation reuses whatever hash partitioning
+    the input already has on a subset of (conv_id, metric) — e.g. a
+    gap-fill window's conv_id exchange — so the LONG rows cross at most
+    one exchange (zero when upstream is already keyed). The kernel-stage
+    width is then pinned by a ROUND-ROBIN repartition of the assembled
+    array rows (one row per conv): an explicit numbered repartition is
+    exempt from AQE byte-coalescing (see cpu_partitions), and round-robin
+    spreads rows exactly evenly where the former by-key repartition left
+    ~1/e of the kernel slots empty to hash collisions. Callers that do
+    their own downstream repartition pass repartition=False."""
+    assembled = series.groupBy("conv_id", "metric").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("bucket_s", F.col(value_col).alias("v")))),
             lambda s: s["v"],
         ).alias("vals")
     )
+    if repartition:
+        assembled = assembled.repartition(cpu_partitions(series))
+    return assembled
 
 
 def matrix_profile(
@@ -325,10 +338,13 @@ def chunked_tile_inputs(
     col_seg = segments.select(
         "conv_id", "metric", F.col("seg").alias("c"), F.col("vals").alias("col_vals")
     )
+    # round-robin: tile rows are uniform-cost kernel tasks; even spread
+    # beats by-key hashing (collisions idle ~1/e of the slots) and the
+    # tile kernel needs no key clustering
     return (
         tiles.join(row_seg, ["conv_id", "metric", "r"])
         .join(col_seg, ["conv_id", "metric", "c"])
-        .repartition(cpu_partitions(src), "conv_id", "metric", "r", "c")
+        .repartition(cpu_partitions(src))
     )
 
 
@@ -713,11 +729,13 @@ def pan_matrix_profile_distributed(
         (b, [int(x) for x in windows[i : i + wpt]])
         for b, i in enumerate(range(0, len(windows), wpt))
     ]
-    assembled = assemble_series(series)
+    # no pre-repartition: the cross join below is followed by its own
+    # per-(conv, batch) numbered repartition
+    assembled = assemble_series(series, repartition=False)
     spark = series.sparkSession
     wdf = spark.createDataFrame(batches, "batch int, ws array<int>")
     tasks = assembled.crossJoin(F.broadcast(wdf)).repartition(
-        cpu_partitions(series), "conv_id", "metric", "batch"
+        cpu_partitions(series)
     )
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -880,10 +898,12 @@ def matrix_profile_ab(
     'ba' rows are B-side (MPB/IdxB).
     """
     opts = opts or MPOpts(algorithm="mpx")
-    a = assemble_series(series_a).select(
+    # no pre-repartition: the equi-join and the kernel repartition below
+    # establish their own partitioning
+    a = assemble_series(series_a, repartition=False).select(
         "conv_id", F.col("vals").alias("a_vals")
     )
-    b = assemble_series(series_b).select(
+    b = assemble_series(series_b, repartition=False).select(
         "conv_id", F.col("vals").alias("b_vals")
     )
     joined = a.join(b, "conv_id")
@@ -924,9 +944,10 @@ def matrix_profile_ab(
                         }
                     )
 
-    return joined.repartition(cpu_partitions(joined), "conv_id").mapInPandas(
-        kernel, schema
-    )
+    # round-robin: one array row per conv, spread exactly evenly over
+    # the kernel tasks (a by-key repartition leaves ~1/e of the slots
+    # empty to hash collisions); mapInPandas needs no key clustering
+    return joined.repartition(cpu_partitions(joined)).mapInPandas(kernel, schema)
 
 
 def _ab_segments(
@@ -984,7 +1005,7 @@ def matrix_profile_ab_chunked(
     tiles = (
         a_segs.withColumnRenamed("seg", "r")
         .join(b_segs.withColumnRenamed("seg", "c"), "conv_id")
-        .repartition(cpu_partitions(series_a), "conv_id", "r", "c")
+        .repartition(cpu_partitions(series_a))
     )
 
     part_schema = T.StructType(

@@ -89,30 +89,64 @@ def rollup_all_tiers(series_raw: DataFrame) -> dict[str, DataFrame]:
     return {"1m": t1m, "1h": t1h, "1d": t1d}
 
 
-def _grid(tier: DataFrame, step_seconds: int, value_col: str) -> DataFrame:
-    """Dense per-(conv,metric) bucket grid left-joined with observations.
+def _aligned_obs(tier: DataFrame, step_seconds: int, value_col: str) -> DataFrame:
+    """Observation rows that land on the dense per-(conv,metric) grid,
+    each annotated with its fill span.
 
-    The grid spans each series' own [min, max] so sparse conversations
-    don't explode into the global time range.
+    The gap-fill grid spans each series' own [min, max] in steps of
+    ``step_seconds`` anchored at the group's min bucket, so sparse
+    conversations don't explode into the global time range; observations
+    off the grid residue (possible only when the tier granularity does
+    not divide into ``step_seconds``) anchor the span but contribute no
+    value — exactly the semantics of the former dense-grid left join,
+    where such rows matched no grid bucket.
+
+    One window pass over the TIER rows (not the dense grid) computes the
+    group bounds and, over the aligned rows, the next grid-aligned
+    observation; every dense bucket is then generated arithmetically by
+    the caller's `sequence` explode. This replaces the former plan —
+    bounds aggregation + grid explode + join + a second window over the
+    DENSE table — with a single exchange over the (much smaller) tier,
+    and the explode output stays hash-partitioned by conv_id, so a
+    downstream per-conv stage (profile assembly) re-uses the exchange.
+
+    Columns: obs_s (grid-aligned obs bucket), v (its value, may be
+    null), span_end (last dense bucket this obs covers: next aligned obs
+    minus one step, or the grid end for the final obs).
     """
-    bounds = tier.groupBy("conv_id", "metric").agg(
-        F.min("bucket_s").cast("long").alias("lo"),
-        F.max("bucket_s").cast("long").alias("hi"),
-    )
-    grid = bounds.select(
-        "conv_id",
-        "metric",
-        F.explode(F.sequence("lo", "hi", F.lit(step_seconds).cast("long"))).alias(
-            "bucket_s"
-        ),
-    )
+    step = F.lit(int(step_seconds)).cast("long")
+    part = Window.partitionBy("conv_id", "metric")
     obs = tier.select(
         "conv_id",
         "metric",
-        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col("bucket_s").cast("long").alias("obs_s"),
         F.col(value_col).alias("v"),
     )
-    return grid.join(obs, ["conv_id", "metric", "bucket_s"], "left")
+    bounded = obs.select(
+        "conv_id",
+        "metric",
+        "obs_s",
+        "v",
+        F.min("obs_s").over(part).alias("lo"),
+        F.max("obs_s").over(part).alias("hi"),
+    ).where((F.col("obs_s") - F.col("lo")) % step == 0)
+    # last grid bucket: lo + floor((hi - lo)/step)*step, in exact long
+    # arithmetic ((hi - lo) % step is non-negative: hi >= lo)
+    g_hi = F.col("lo") + (
+        (F.col("hi") - F.col("lo")) - (F.col("hi") - F.col("lo")) % step
+    )
+    ow = part.orderBy("obs_s")
+    return bounded.select(
+        "conv_id",
+        "metric",
+        "obs_s",
+        "v",
+        # greatest() guards out-of-contract duplicate buckets (sequence
+        # rejects a descending range with a positive step)
+        F.greatest(
+            F.coalesce(F.lead("obs_s").over(ow) - step, g_hi), F.col("obs_s")
+        ).alias("span_end"),
+    )
 
 
 def gap_fill_locf(
@@ -123,22 +157,44 @@ def gap_fill_locf(
     """Dense grid per (conv_id, metric) + last-observation-carried-forward.
 
     Output: (conv_id, metric, bucket_s long, value double, filled bool);
-    `filled` marks synthesized buckets. LOCF = built-in
-    last(value, ignoreNulls) over an unbounded-preceding window
-    (as-of semantics).
+    `filled` marks synthesized buckets. Each observation carries forward
+    over its span (obs bucket up to the bucket before the next
+    observation), so the dense rows are generated already carrying their
+    value — one window over the tier + an arithmetic sequence explode,
+    instead of materializing the dense grid first and LOCF-scanning it
+    with a second window (see _aligned_obs).
     """
-    joined = _grid(tier, step_seconds, value_col)
-    w = (
+    step = F.lit(int(step_seconds)).cast("long")
+    spans = _aligned_obs(tier, step_seconds, value_col)
+    # carried = last non-null value at or before this obs: only differs
+    # from v for null-valued observations (impossible for rollup tiers,
+    # where every aggregate of a non-empty group is non-null)
+    wprev = (
         Window.partitionBy("conv_id", "metric")
-        .orderBy("bucket_s")
+        .orderBy("obs_s")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return joined.select(
+    carried = spans.select(
+        "conv_id",
+        "metric",
+        "obs_s",
+        "v",
+        "span_end",
+        F.last("v", ignorenulls=True).over(wprev).alias("value"),
+    )
+    return carried.select(
+        "conv_id",
+        "metric",
+        F.explode(F.sequence("obs_s", "span_end", step)).alias("bucket_s"),
+        "value",
+        "obs_s",
+        "v",
+    ).select(
         "conv_id",
         "metric",
         "bucket_s",
-        F.last("v", ignorenulls=True).over(w).alias("value"),
-        F.col("v").isNull().alias("filled"),
+        "value",
+        ((F.col("bucket_s") != F.col("obs_s")) | F.col("v").isNull()).alias("filled"),
     )
 
 
@@ -149,26 +205,66 @@ def gap_fill_interpolate(
 
     Missing buckets take prev + (next-prev)·(t-t_prev)/(t_next-t_prev);
     after the last observation the previous value carries (LOCF tail).
+    Same single-window span construction as gap_fill_locf: the
+    interpolation endpoints (previous / next non-null observation and
+    their times) are window functions over the TIER rows, and each dense
+    bucket interpolates arithmetically inside the span explode.
     """
-    joined = _grid(tier, step_seconds, value_col)
-    part = Window.partitionBy("conv_id", "metric").orderBy("bucket_s")
+    step = F.lit(int(step_seconds)).cast("long")
+    spans = _aligned_obs(tier, step_seconds, value_col)
+    part = Window.partitionBy("conv_id", "metric").orderBy("obs_s")
     wprev = part.rowsBetween(Window.unboundedPreceding, 0)
-    wnext = part.rowsBetween(0, Window.unboundedFollowing)
-    ts = F.col("bucket_s").cast("double")
-    prev_v = F.last("v", ignorenulls=True).over(wprev)
-    next_v = F.first("v", ignorenulls=True).over(wnext)
-    prev_t = F.last(F.when(F.col("v").isNotNull(), ts), ignorenulls=True).over(wprev)
-    next_t = F.first(F.when(F.col("v").isNotNull(), ts), ignorenulls=True).over(wnext)
-    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
-        F.when(
-            next_v.isNotNull() & prev_v.isNotNull() & (next_t != prev_t),
-            prev_v + (next_v - prev_v) * (ts - prev_t) / (next_t - prev_t),
-        ).otherwise(F.coalesce(prev_v, next_v))
+    wnext = part.rowsBetween(1, Window.unboundedFollowing)
+    ts = F.col("obs_s").cast("double")
+    ann = spans.select(
+        "conv_id",
+        "metric",
+        "obs_s",
+        "v",
+        "span_end",
+        F.last("v", ignorenulls=True).over(wprev).alias("pv"),
+        F.last(F.when(F.col("v").isNotNull(), ts), ignorenulls=True)
+        .over(wprev)
+        .alias("pt"),
+        F.first("v", ignorenulls=True).over(wnext).alias("nv"),
+        F.first(F.when(F.col("v").isNotNull(), ts), ignorenulls=True)
+        .over(wnext)
+        .alias("nt"),
     )
-    return joined.select(
+    rows = ann.select(
+        "conv_id",
+        "metric",
+        F.explode(F.sequence("obs_s", "span_end", step)).alias("bucket_s"),
+        "obs_s",
+        "v",
+        "pv",
+        "pt",
+        "nv",
+        "nt",
+    )
+    # identical expression shape (and therefore bit-identical IEEE
+    # arithmetic) to the former dense-grid formulation: at an observed
+    # bucket the value passes through; interior buckets interpolate
+    # between the nearest non-null observations; past the last (or
+    # before the first) non-null observation the available endpoint
+    # carries. For interior buckets the previous non-null observation
+    # at-or-before the generating obs IS the previous non-null at the
+    # bucket (there is no observation strictly inside a span).
+    gts = F.col("bucket_s").cast("double")
+    at_obs = (F.col("bucket_s") == F.col("obs_s")) & F.col("v").isNotNull()
+    interp = F.when(at_obs, F.col("v")).otherwise(
+        F.when(
+            F.col("nv").isNotNull() & F.col("pv").isNotNull() & (F.col("nt") != F.col("pt")),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (gts - F.col("pt"))
+            / (F.col("nt") - F.col("pt")),
+        ).otherwise(F.coalesce("pv", "nv"))
+    )
+    return rows.select(
         "conv_id",
         "metric",
         "bucket_s",
         interp.alias("value"),
-        F.col("v").isNull().alias("filled"),
+        ((F.col("bucket_s") != F.col("obs_s")) | F.col("v").isNull()).alias("filled"),
     )

@@ -22,9 +22,24 @@ from pyspark.sql.window import Window
 
 
 def transcripts_from_events(events: DataFrame) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
+    # resolve conv_id FIRST and partition the turn-numbering window by
+    # that attribute (the string cast is injective, so partitions — and
+    # therefore row_number values — are identical to partitioning by
+    # user_id). Downstream operators window/group by the same conv_id
+    # attribute, so Catalyst reuses this exchange instead of
+    # re-shuffling the transcript table a second time (one full
+    # exchange of the text payload saved in every derive_series /
+    # sessionize chain).
+    base = events.select(
         F.col("user_id").cast("string").alias("conv_id"),
+        "event_type",
+        "props",
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    return base.select(
+        "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.col("props").alias("text"),

@@ -144,6 +144,51 @@ class TestRollup:
         out = R.gap_fill_interpolate(t1m).where("filled").limit(5).toPandas()
         assert (out["value"].notna()).all()
 
+    def test_gap_fill_locf_misaligned_grid(self, spark):
+        """r06 internals change (span explode instead of dense-grid
+        join): observations off the lo-anchored grid residue must anchor
+        the span but contribute no value, exactly like the reference's
+        reindex. Buckets {0, 1000, 3600} at step 1000: grid is
+        {0,1000,2000,3000}; the 3600 row is off-grid (contributes
+        nothing, but extends the grid to 3000)."""
+        import pandas as pd
+
+        tier = spark.createDataFrame(
+            [("c", "m", 0, 10.0), ("c", "m", 1000, 20.0), ("c", "m", 3600, 99.0)],
+            "conv_id string, metric string, bucket_s long, sum double",
+        )
+        got = (
+            R.gap_fill_locf(tier, 1000)
+            .orderBy("bucket_s")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        want = REF.gap_fill_locf_pandas(
+            pd.DataFrame(
+                {
+                    "conv_id": ["c"] * 3,
+                    "metric": ["m"] * 3,
+                    "bucket_s": [0, 1000, 3600],
+                    "sum": [10.0, 20.0, 99.0],
+                }
+            ),
+            1000,
+        ).sort_values("bucket_s").reset_index(drop=True)
+        assert list(got["bucket_s"]) == [0, 1000, 2000, 3000]
+        np.testing.assert_allclose(got["value"].to_numpy(), want["value"].to_numpy())
+        np.testing.assert_array_equal(got["filled"].to_numpy(), want["filled"].to_numpy())
+        # interpolate: off-grid obs is likewise invisible; tail carries
+        gi = (
+            R.gap_fill_interpolate(tier, 1000)
+            .orderBy("bucket_s")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        assert list(gi["bucket_s"]) == [0, 1000, 2000, 3000]
+        np.testing.assert_allclose(
+            gi["value"].to_numpy(), [10.0, 20.0, 20.0, 20.0]
+        )
+
 
 class TestMatrixProfileOperator:
     def test_fixture_conv_matches_golden(self, spark, series_raw):
