@@ -427,14 +427,30 @@ def materialize_sequences(
         ).cast("array<string>"),
     ).otherwise(
         F.when(
-            F.size(raw_slice) == F.col("n_tokens").cast("int"),
+            (F.size(raw_slice) == F.col("n_tokens").cast("int"))
+            # a doc's only non-full chunk is its FINAL chunk
+            # (split_documents construction), so that chunk must end
+            # exactly at the token array's end: catches token arrays
+            # LONGER than the packed accounting (fewer merges on the
+            # tokenized side), which slice correctly-sized windows at
+            # wrong boundaries and would otherwise pass silently
+            # (advisor item r5); docs whose total is an exact multiple
+            # of the budget have no non-full chunk and skip the check
+            & (
+                (F.col("n_tokens").cast("int") == budget)
+                | (
+                    F.col("chunk_idx").cast("int") * budget
+                    + F.col("n_tokens").cast("int")
+                    == F.size("tokens")
+                )
+            ),
             raw_slice,
         ).otherwise(
             F.assert_true(
                 F.lit(False),
-                "materialize_sequences: token array shorter than the "
-                "packed accounting (mismatched merges between packed "
-                "n_tokens and tokenized?)",
+                "materialize_sequences: token array length inconsistent "
+                "with the packed accounting (mismatched merges between "
+                "packed n_tokens and tokenized?)",
             ).cast("array<string>")
         )
     )

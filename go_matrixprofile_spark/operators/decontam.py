@@ -73,8 +73,13 @@ def decontaminate(
         bench_grams = F.broadcast(bench_grams)
     # explode_outer keeps a NULL-gram row for too-short docs, so the
     # doc_id aggregation alone covers every document — no corpus-sized
-    # join back onto `documents`
-    doc_grams = _word_ngrams(documents, "doc_id", n, keep_empty=True)
+    # join back onto `documents`. The corpus side is spread to cluster
+    # parallelism first (no-op for well-split sources): the gram
+    # explode + probe below is the expensive part, and an unsplittable
+    # source would run it in one task.
+    from .spread import spread_input
+
+    doc_grams = _word_ngrams(spread_input(documents), "doc_id", n, keep_empty=True)
     hit_frac = F.when(
         F.col("n_grams") > 0, F.col("n_hits") / F.col("n_grams")
     ).otherwise(F.lit(0.0))
@@ -136,8 +141,11 @@ def contaminated_spans(
         F.sequence(F.lit(1), ln),
         lambda i: F.array_join(F.slice(norm, i, n), " "),
     )).otherwise(F.array())
+    from .spread import spread_input
+
     hits = (
-        documents.select(F.col("doc_id"), F.posexplode(grams).alias("pos", "gram"))
+        spread_input(documents)
+        .select(F.col("doc_id"), F.posexplode(grams).alias("pos", "gram"))
         .join(bench_grams, "gram", "inner")
         .select("doc_id", "pos")
     )

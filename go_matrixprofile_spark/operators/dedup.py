@@ -38,7 +38,15 @@ def shingles(documents: DataFrame, k: int = 8, distinct: bool = True) -> DataFra
     distinct=True (set semantics) is required for Jaccard; min-hash is
     insensitive to duplicates (min over a multiset == min over its set),
     so the min-hash path passes distinct=False and skips a full shuffle
-    of the exploded shingle table."""
+    of the exploded shingle table.
+
+    The input is spread to cluster parallelism first (no-op for
+    well-split sources): the explode + per-shingle md5 downstream is
+    the expensive part of every consumer, and an unsplittable source
+    (single-row-group parquet) would otherwise run it in one task."""
+    from .spread import spread_input
+
+    documents = spread_input(documents)
     sh = documents.select(
         "doc_id",
         F.explode(
@@ -284,7 +292,9 @@ def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
     signature bit = 1 iff the sum > 0. Pure built-ins: explode tokens,
     explode bits, conditional aggregate, bit-recombine.
     """
-    toks = documents.select(
+    from .spread import spread_input
+
+    toks = spread_input(documents).select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     ).where(F.length("tok") > 0)
     h = _md5_int(F.col("tok"))
@@ -690,7 +700,16 @@ def winnow_dup_pairs(
     """
     from .text import winnow_fingerprints
 
-    fps = winnow_fingerprints(documents, k=k, window=window)
+    # explicit doc_id non-null filter so the fingerprint subtree is
+    # IDENTICAL in all plan legs: the self-join legs infer
+    # isnotnull(doc_id) from the join condition while the df-gate leg
+    # does not, and that one-filter difference defeats AQE exchange
+    # reuse — the whole gram+md5+window chain then executes twice
+    # instead of once (doc_id is the non-null key of the documents
+    # contract, so the filter itself drops nothing)
+    fps = winnow_fingerprints(
+        documents.where(F.col("doc_id").isNotNull()), k=k, window=window
+    )
     rare = fps.join(
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))

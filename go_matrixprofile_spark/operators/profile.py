@@ -110,25 +110,28 @@ def assemble_series(
     of long-format rows through the Arrow/pandas boundary — measured
     ~2-3x faster end-to-end for the MP operators.
 
-    Plan shape (r06): the aggregation reuses whatever hash partitioning
-    the input already has on a subset of (conv_id, metric) — e.g. a
-    gap-fill window's conv_id exchange — so the LONG rows cross at most
-    one exchange (zero when upstream is already keyed). The kernel-stage
-    width is then pinned by a ROUND-ROBIN repartition of the assembled
-    array rows (one row per conv): an explicit numbered repartition is
-    exempt from AQE byte-coalescing (see cpu_partitions), and round-robin
-    spreads rows exactly evenly where the former by-key repartition left
-    ~1/e of the kernel slots empty to hash collisions. Callers that do
-    their own downstream repartition pass repartition=False."""
-    assembled = series.groupBy("conv_id", "metric").agg(
+    Plan shape (r06): the kernel-width repartition keys on conv_id
+    ONLY. The aggregation's ClusteredDistribution((conv_id, metric)) is
+    satisfied by hashpartitioning(conv_id), so the explicit numbered
+    exchange (exempt from AQE byte-coalescing — see cpu_partitions) is
+    REUSED by the aggregation and the long rows cross exactly one
+    exchange; the former (conv_id, metric) repartition key was NOT
+    reusable whenever metric was a constant-folded literal (Catalyst
+    aliases the folded literal into a fresh grouping attribute the
+    partitioning does not match), which silently doubled the shuffle.
+    Callers that do their own downstream repartition pass
+    repartition=False."""
+    src = (
+        series.repartition(cpu_partitions(series), "conv_id")
+        if repartition
+        else series
+    )
+    return src.groupBy("conv_id", "metric").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("bucket_s", F.col(value_col).alias("v")))),
             lambda s: s["v"],
         ).alias("vals")
     )
-    if repartition:
-        assembled = assembled.repartition(cpu_partitions(series))
-    return assembled
 
 
 def matrix_profile(

@@ -14,7 +14,33 @@
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, functions as F
+
+from .spread import spread_input
+
+
+def _plane_components(p: int, dim: int) -> list[float]:
+    """Plane p's ±1 components for dimensions 0..dim-1, evaluated in
+    Python at PLAN-BUILD time. Bit-identical to the in-plan expression
+    conv(substring(md5(concat_ws('_', p, d)), 1, 2), 16, 10) % 2 * 2 - 1
+    the SQL oracle uses (same md5 over the same 'p_d' string), but
+    computed once per plan instead of dim×planes md5 calls PER ROW —
+    the former per-row construction spent more time rebuilding the
+    constant plane matrix than taking the dot products."""
+    return [
+        float((int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:2], 16) % 2) * 2 - 1)
+        for d in range(dim)
+    ]
+
+
+def _embedding_dim(embeddings: DataFrame) -> int:
+    """Dimension of the embedding column: one single-row scalar fetch
+    at plan-build time (the embeddings contract is fixed-dim). Empty
+    input returns 1 — every downstream plan is empty anyway."""
+    row = embeddings.select(F.size("embedding").alias("d")).first()
+    return 1 if row is None or row["d"] is None else int(row["d"])
 
 
 def _cosine(a, b):
@@ -47,7 +73,11 @@ def knn_brute_cosine(
     q = embeddings.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    c = embeddings.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+    # spread the streamed corpus side: the per-pair cosine below is the
+    # expensive part and an unsplittable source would run it in 1 task
+    c = spread_input(embeddings).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ne")
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("qid") != F.col("nid"))
@@ -66,22 +96,17 @@ def lsh_signatures(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
 
     Plane p's component for dimension d is md5-derived ±1 — the same
     construction is written in the oracle SQL, so signatures are
-    engine-portable without shipping plane matrices.
+    engine-portable without shipping plane matrices. The plane matrix
+    is constant, so it is evaluated ONCE in Python at plan-build time
+    and embedded as literal arrays (_plane_components) instead of
+    re-deriving dim×n_planes md5 values per row; the input is spread
+    to cluster parallelism first (no-op for well-split sources).
     """
+    dim = _embedding_dim(embeddings)
     e = F.col("embedding")
     sig = None
     for p in range(n_planes):
-        # ±1 from the low hex digit of md5("<p>_<d>")
-        comp = F.transform(
-            F.sequence(F.lit(0), F.size(e) - 1),
-            lambda d: (
-                F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(p), d)), 1, 2), 16, 10)
-                .cast("int")
-                % 2
-                * 2
-                - 1
-            ).cast("double"),
-        )
+        comp = F.lit(_plane_components(p, dim))
         dot = F.aggregate(
             F.zip_with(e, comp, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
@@ -89,7 +114,7 @@ def lsh_signatures(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
         )
         bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * (2**p)
         sig = bit if sig is None else sig + bit
-    return embeddings.select("vec_id", sig.cast("int").alias("bucket"))
+    return spread_input(embeddings).select("vec_id", sig.cast("int").alias("bucket"))
 
 
 def lsh_band_buckets(
@@ -110,27 +135,14 @@ def lsh_band_buckets(
     tunable, and `_cap_buckets` bounds the worst block.
     """
     e = F.col("embedding")
-
-    def _plane_comp(p):
-        # NB: the lambda must take exactly ONE arg — F.transform passes
-        # the element index as a second arg when the function is binary,
-        # which would silently shadow the plane id
-        return F.transform(
-            F.sequence(F.lit(0), F.size(e) - 1),
-            lambda d: (
-                F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(p), d)), 1, 2), 16, 10)
-                .cast("int")
-                % 2
-                * 2
-                - 1
-            ).cast("double"),
-        )
-
+    # constant plane matrix as literal arrays (see _plane_components):
+    # one Python evaluation per plan instead of dim×planes md5s per row
+    dim = _embedding_dim(embeddings)
     tables = []
     for t in range(n_tables):
         sig = None
         for j in range(band_size):
-            comp = _plane_comp(t * band_size + j)
+            comp = F.lit(_plane_components(t * band_size + j, dim))
             dot = F.aggregate(
                 F.zip_with(e, comp, lambda x, c: x.cast("double") * c),
                 F.lit(0.0),
@@ -139,7 +151,7 @@ def lsh_band_buckets(
             bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * (2**j)
             sig = bit if sig is None else sig + bit
         tables.append(F.struct(F.lit(t).alias("tbl"), sig.cast("int").alias("bucket")))
-    return embeddings.select(
+    return spread_input(embeddings).select(
         "vec_id", F.explode(F.array(*tables)).alias("e")
     ).select("vec_id", "e.tbl", "e.bucket")
 
@@ -188,7 +200,9 @@ def knn_lsh_cosine(
         .distinct()
     )
     q = embeddings.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-    c = embeddings.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+    c = spread_input(embeddings).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ne")
+    )
     scored = (
         cand.join(F.broadcast(q), "qid")
         .join(c, "nid")
@@ -260,6 +274,10 @@ def ivf_assign(
     ignored when given.
     """
     from pyspark.sql.window import Window
+
+    # spread an under-split source once: the per-row n_centroids-cosine
+    # argmax below otherwise runs in one task for a single-split input
+    embeddings = spread_input(embeddings)
 
     def assign_to(cents_df: DataFrame) -> DataFrame:
         # dim guard: wrong-dimension centroids (e.g. a stale artifact)
@@ -342,7 +360,9 @@ def knn_ivf_cosine(
         .distinct()
     )
     q = embeddings.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-    c = embeddings.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+    c = spread_input(embeddings).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ne")
+    )
     scored = (
         cand.join(F.broadcast(q), "qid")
         .join(c, "nid")
@@ -455,6 +475,9 @@ def pq_codes(
     sub_len = dim // m_sub
     if sub_len * m_sub != dim:
         raise ValueError("m_sub must divide dim")
+    # spread an under-split source once: the subvector explode + code
+    # assignment below otherwise runs in one task for a 1-split input
+    embeddings = spread_input(embeddings)
 
     subs = F.explode(
         F.transform(

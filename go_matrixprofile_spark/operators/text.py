@@ -148,6 +148,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     from ..functions.langprofiles import K_DOC, N_PROF, PROFILES
+    from .spread import spread_input
 
     spark = documents.sparkSession
     norm = F.concat(
@@ -156,7 +157,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
         F.lit(" "),
     )
     grams = (
-        documents.select("doc_id", norm.alias("norm"))
+        spread_input(documents).select("doc_id", norm.alias("norm"))
         .select(
             "doc_id",
             F.explode(
@@ -227,9 +228,17 @@ def winnow_fingerprints(
     Plan: posexplode k-grams → md5 hash → sliding min over ONE window
     sort per doc → distinct. The fingerprint set is ~1/window the size
     of the shingle set — the cheap pre-filter ahead of exact Jaccard at
-    corpus scale."""
+    corpus scale.
+
+    The input is spread to cluster parallelism first (no-op for
+    well-split sources): the k-gram explode + per-gram md5 below is
+    the stage's expensive part, and an unsplittable source
+    (single-row-group parquet) would otherwise run it in one task."""
     from pyspark.sql.window import Window
 
+    from .spread import spread_input
+
+    documents = spread_input(documents)
     grams = documents.select(
         "doc_id",
         F.posexplode(
@@ -291,7 +300,9 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         f"zip_with(slice({ws}, 2, {l3}), slice({ws}, 3, {l3}), "
         "(a, b) -> concat(a, ' ', b)), (a, b) -> concat(a, ' ', b))"
     )
-    arrays = documents.select(
+    from .spread import spread_input
+
+    arrays = spread_input(documents).select(
         "doc_id",
         F.expr(ws).alias("g1"),
         F.expr(g2).alias("g2"),

@@ -375,11 +375,18 @@ def main() -> None:
             if mixture_weights is not None:
                 # epoch copies carry composite ids; re-key to the
                 # original doc for the token join (all copies of a doc
-                # share one token array). INTEGER division — a float
-                # floor() loses exactness above 2^53 and would attach
-                # the wrong document's tokens for hash-derived ids
+                # share one token array). Exact FLOOR division on longs:
+                # subtracting pmod first makes the dividend exactly
+                # divisible, so `div` (integer, exact at any magnitude —
+                # a float floor() loses exactness above 2^53) equals
+                # floor even for negative hash-derived doc_ids, where a
+                # bare `div` truncates toward zero and would re-key a
+                # copy to the WRONG document (advisor item r5)
                 pk = packed.withColumn(
-                    "doc_id", F.expr(f"doc_id div {k_copies}")
+                    "doc_id",
+                    F.expr(
+                        f"(doc_id - pmod(doc_id, {k_copies})) div {k_copies}"
+                    ),
                 )
             stage(
                 f"doc_seqs{variant}",

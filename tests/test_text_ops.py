@@ -419,5 +419,31 @@ class TestMaterializeSequences:
             [(0, ["a", "b"]), (99, ["x"] * 5)],
             "doc_id long, tokens array<string>",
         )
-        with _pytest.raises(Exception, match="shorter than|assert"):
+        with _pytest.raises(Exception, match="inconsistent|assert"):
             materialize_sequences(packed, short, budget=16).toPandas()
+
+    def test_overlong_tokens_fail_loudly(self, spark):
+        """A token array LONGER than the packed accounting (fewer
+        merges on the tokenized side) slices correctly-sized windows at
+        wrong boundaries — the final-chunk boundary guard must raise
+        instead of silently emitting shifted tokens (advisor item r5)."""
+        import pytest as _pytest
+
+        from go_matrixprofile_spark.operators.corpus import materialize_sequences
+
+        # doc 0 packed as 5 tokens (one non-full final chunk, budget 16)
+        packed = spark.createDataFrame(
+            [(0, 0, 5, 0, 0, 0)],
+            "doc_id long, chunk_idx int, n_tokens long, bucket int, seq_id long, seq_offset long",
+        )
+        overlong = spark.createDataFrame(
+            [(0, ["t"] * 9)], "doc_id long, tokens array<string>"
+        )
+        with _pytest.raises(Exception, match="inconsistent|assert"):
+            materialize_sequences(packed, overlong, budget=16).toPandas()
+        # exact match still sails through
+        ok = spark.createDataFrame(
+            [(0, ["t"] * 5)], "doc_id long, tokens array<string>"
+        )
+        out = materialize_sequences(packed, ok, budget=16).toPandas()
+        assert out["n_tokens"].tolist() == [5]
