@@ -49,4 +49,37 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_up(spark)
     return spark
+
+
+def _warm_up(spark: SparkSession) -> None:
+    """Absorb one-time session start-up costs at CREATION time: JIT and
+    whole-stage-codegen compiler warm-up, shuffle machinery init, and
+    the fork of the Python/Arrow worker pool. Without this the first
+    real query of every session pays ~3-6 s of infrastructure cost that
+    has nothing to do with the query — misleading in benchmarks and
+    wasted on the critical path of short jobs. Runs tiny synthetic jobs
+    only (spark.range): no input data is read, nothing is cached, no
+    result is retained. Disable with SPARK_GRAFT_NO_WARMUP=1."""
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP") == "1":
+        return
+    try:
+        import pandas as pd  # noqa: F401
+        from pyspark.sql import functions as F
+
+        # one shuffle + aggregation job: initializes the shuffle system,
+        # exchange codegen, and AQE machinery
+        spark.range(0, 1000, 1, 8).groupBy((F.col("id") % 7).alias("k")).count().count()
+
+        # one Arrow/pandas job: forks the Python worker pool and warms
+        # the Arrow serialization path used by the kernel stages
+        def _noop_batches(it):
+            for pdf in it:
+                yield pdf
+
+        spark.range(0, 64, 1, 8).mapInPandas(_noop_batches, "id long").count()
+    except Exception:
+        # warm-up is best-effort: a failure here must never break
+        # session creation (e.g. minimal builds without pandas/Arrow)
+        pass
