@@ -74,6 +74,14 @@ def compress_series(
             columns=["conv_id", "metric", "range_start", "codec", "ts_blob", "val_blob", "n"],
         )
 
+    # pin the kernel-stage width like the MP paths (operators/profile.py
+    # cpu_partitions): the bit-packing kernel is CPU-heavy per group, and
+    # AQE byte-coalescing would otherwise shrink the small exchange to a
+    # handful of partitions and serialize it; keying by conv_id alone is
+    # reusable by the grouping's clustered distribution
+    from ..operators.profile import cpu_partitions
+
+    src = src.repartition(cpu_partitions(src), "conv_id")
     return src.groupBy("conv_id", "metric").applyInPandas(kernel, COMPRESSED_SCHEMA)
 
 

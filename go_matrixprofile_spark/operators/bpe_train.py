@@ -56,8 +56,12 @@ def train_bpe_distributed(
     ``[(x, y), ...]`` list consumed by ``token_counts_bpe(documents,
     merges=...)`` and by ``functions.bpe.apply_bpe``.
     """
+    from .spread import spread_input
     from .text import _WORDISH
 
+    # the corpus-scale word count is the one expensive pass; spread an
+    # under-split source so it parallelizes (no-op when well-split)
+    documents = spread_input(documents)
     vocab = (
         documents.select(
             F.explode(

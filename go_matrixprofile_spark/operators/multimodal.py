@@ -277,7 +277,11 @@ def extract_features(
                 columns=["doc_id", "kind", "n_bytes", "sha", "feature", "decode_err"],
             )
 
-    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+    # spread an under-split source (e.g. one parquet row group): the
+    # per-sample decode below is CPU-heavy and would serialize in 1 task
+    from .spread import spread_input
+
+    return spread_input(media).mapInPandas(kernel, FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
@@ -362,4 +366,9 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
                     rows.append((row.doc_id, f_idx, buf[f_idx * per : (f_idx + 1) * per]))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
 
-    return media.where(F.col("kind") == "video").mapInPandas(kernel, schema)
+    from .spread import spread_input
+
+    return (
+        spread_input(media.where(F.col("kind") == "video"))
+        .mapInPandas(kernel, schema)
+    )
