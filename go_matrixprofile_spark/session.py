@@ -38,6 +38,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce INSIDE cached plans too (off by default to
+        # preserve cached output partitioning): without it a persisted
+        # tier keeps every raw shuffle partition and downstream
+        # aggregations schedule hundreds of near-empty tasks — measured
+        # 2× on tier-on-tier rollups over a cached tier. Stages that
+        # genuinely need a pinned width (CPU-heavy kernels) use explicit
+        # numbered repartitions, which AQE never coalesces.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
