@@ -154,10 +154,22 @@ def matrix_profile_assembled(
     w: int,
     opts: MPOpts | None = None,
     min_len: int | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """MP over pre-assembled array rows (conv_id, metric, vals) — the
     entry point when series are already stored array-per-conv (e.g. a
-    materialized tier), skipping the assembly shuffle."""
+    materialized tier), skipping the assembly shuffle.
+
+    spread=True round-robins the (compact) array rows across
+    cpu_partitions before the kernel: the assembly aggregation leaves
+    rows hash-laid-out by conv_id, and for fleets whose series count is
+    near the partition count, hash collisions put 2-3 series in some
+    kernel tasks while others sit empty — the stage makespan becomes 3
+    series-times instead of 2 (measured on the 64×16k bench fleet).
+    The extra exchange moves only one array row per series (MBs), not
+    the long-format points, and the kernel needs no key clustering, so
+    an even keyless spread is strictly better load balance. Callers
+    that already balance their input can pass spread=False."""
     opts = opts or MPOpts()
     min_len = max(min_len or 0, w + 1)
 
@@ -180,6 +192,8 @@ def matrix_profile_assembled(
                     }
                 )
 
+    if spread:
+        assembled = assembled.repartition(cpu_partitions(assembled))
     return assembled.mapInPandas(kernel, MP_SCHEMA)
 
 
