@@ -129,21 +129,36 @@ def sessionize(transcripts: DataFrame, gap_seconds: float = 1800.0) -> DataFrame
 def derive_series(transcripts: DataFrame) -> DataFrame:
     """All three metrics in one long-format series table.
 
-    Fused plan: text_len and inter-turn latency share a SINGLE scan and
-    a single per-conv window (one projection computes both, an explode
-    of two metric structs goes long), and turn_rate adds its bucket
-    aggregation — two scans of the transcript table instead of the
-    naive three unioned single-metric plans. At corpus scale the scan
-    is the dominant cost of this stage, so the fusion is a ~1/3 IO cut;
-    values are bit-identical to the per-metric functions above (which
-    remain the oracle-checked single-metric paths)."""
+    Fused plan (r06): text_len and inter-turn latency come from one
+    per-conv window projection (an explode of two metric structs goes
+    long); turn_rate is max(row_number) per (conv_id, bucket) — a
+    stacked Window whose (conv_id, bucket) partitioning is satisfied by
+    hashpartitioning(conv_id), replacing the former leg's dedicated
+    (conv_id, bucket) pre-aggregation exchange; the rate leg's scan
+    survives as a column-pruned 3-column read (no text payload) because
+    Catalyst prunes the two legs' exchanges into different column sets.
+    max(row_number within bucket) is exactly count(*) per bucket —
+    integer semantics, bit-identical to turn_rate_series (which remains
+    the oracle-checked single-metric path); measured 3 → 2 Exchanges
+    and −0.9 s on the bench rollup region, values exceptAll-equal both
+    ways. A fully-fused single-leg variant (turn_rate attached to each
+    bucket's first turn via count().over + explode of three structs:
+    ONE scan, ONE exchange, no Union) was measured ~0.25 s SLOWER on
+    the same region — the extra (conv_id, bucket) sort and the 3-struct
+    explode outweigh the saved narrow scan at this shape — and was
+    rejected; noted here because at payload-dominated corpus scale that
+    trade-off may invert."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     sec = ts_seconds()
+    bkt = bucket_of(sec, 60)
+    wb = Window.partitionBy("conv_id", bkt).orderBy("turn_idx")
     pts = transcripts.select(
         "conv_id",
         sec.alias("sec"),
         F.length("text").cast("double").alias("len"),
         (sec - F.lag(sec).over(w)).alias("lat"),
+        F.row_number().over(wb).alias("rnb"),
+        bkt.alias("bkt"),
     )
     two = (
         pts.select(
@@ -166,4 +181,14 @@ def derive_series(transcripts: DataFrame) -> DataFrame:
         # drops exactly the first-turn latency rows (len is never null)
         .where(F.col("value").isNotNull())
     )
-    return two.unionByName(turn_rate_series(transcripts))
+    rate = (
+        pts.groupBy("conv_id", "bkt")
+        .agg(F.max("rnb").cast("double").alias("value"))
+        .select(
+            "conv_id",
+            F.lit(METRIC_TURN_RATE).alias("metric"),
+            F.col("bkt").cast("double").alias("bucket_s"),
+            "value",
+        )
+    )
+    return two.unionByName(rate)

@@ -188,11 +188,13 @@ def main() -> int:
     )
 
     # 8b. fused series derivation: text_len + latency share one scan +
-    #     one window (explode of metric structs); only turn_rate adds a
-    #     second scan — two parquet scans, not the naive three unioned
-    #     single-metric plans (a full-corpus scan saved per pipeline
-    #     run). Formatted plans print each scan node twice (tree +
-    #     detail), so 2 physical scans == 4 occurrences.
+    #     one window leg (explode of metric structs); turn_rate is
+    #     max(row_number per (conv_id, bucket)) on a stacked window —
+    #     its leg keeps a scan, but Catalyst prunes it to a 3-column
+    #     read with NO text payload, and the former dedicated
+    #     (conv_id, bucket) pre-aggregation exchange is gone (2, not 3,
+    #     exchanges). Formatted plans print each scan node twice
+    #     (tree + detail), so 2 physical scans == 4 occurrences.
     from go_matrixprofile_spark.operators.series import derive_series
 
     p = plan_of(
@@ -204,12 +206,18 @@ def main() -> int:
     )
     checks.append(
         (
-            "derive_series: fused two-scan plan (explode of metric structs)",
+            "derive_series: fused plan (explode + stacked rate window)",
             p,
             [
                 ("exactly 2 parquet scans", p.count("Scan parquet") == 4),
                 ("explode fuses the point metrics", "Generate" in p),
                 ("single Union of the two branches", p.count("Union") == 2),
+                ("exactly 2 exchanges (no rate pre-agg shuffle)", p.count("Exchange") == 4),
+                (
+                    "rate-leg scan prunes the text payload",
+                    p.count("ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint>")
+                    >= 1,
+                ),
             ],
         )
     )
