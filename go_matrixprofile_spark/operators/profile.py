@@ -167,9 +167,14 @@ def matrix_profile_assembled(
     kernel tasks while others sit empty — the stage makespan becomes 3
     series-times instead of 2 (measured on the 64×16k bench fleet).
     The extra exchange moves only one array row per series (MBs), not
-    the long-format points, and the kernel needs no key clustering, so
-    an even keyless spread is strictly better load balance. Callers
-    that already balance their input can pass spread=False."""
+    the long-format points, and the kernel needs no key clustering.
+    Regime note (measured): the spread pays off for FEW-LARGE-SERIES
+    fleets (the reference's own workload: −20% on 64×16k, where one
+    collided task idles half the cluster for a whole kernel-time); for
+    MANY-SMALL-SERIES corpus fleets the keys already balance the
+    partitions (~30+ series each) and the spread only adds an array
+    shuffle + a stage barrier (−1.1 s on a 10× fleet) — such callers
+    should pass spread=False to keep assembly→kernel stage fusion."""
     opts = opts or MPOpts()
     min_len = max(min_len or 0, w + 1)
 
