@@ -75,18 +75,50 @@ def _warm_up(spark: SparkSession) -> None:
     try:
         import pandas as pd  # noqa: F401
         from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
 
         # one shuffle + aggregation job: initializes the shuffle system,
         # exchange codegen, and AQE machinery
         spark.range(0, 1000, 1, 8).groupBy((F.col("id") % 7).alias("k")).count().count()
 
-        # one Arrow/pandas job: forks the Python worker pool and warms
-        # the Arrow serialization path used by the kernel stages
-        def _noop_batches(it):
+        # window + sort + generate + broadcast-join job: first-touches
+        # the other operator frameworks every engine chain uses
+        # (SortExec/WindowExec frame machinery, Generate/explode,
+        # BroadcastHashJoin build + exchange) so their shared JVM
+        # classes JIT outside the first timed query
+        r = spark.range(0, 2000, 1, 8)
+        w = Window.partitionBy((F.col("id") % 16).alias("p")).orderBy("id")
+        (
+            r.select(
+                "id",
+                F.row_number().over(w).alias("rn"),
+                F.lag("id").over(w).alias("lg"),
+            )
+            .select("id", F.explode(F.array("rn", "lg")).alias("v"))
+            .where(F.col("v").isNotNull())
+            .join(
+                F.broadcast(spark.range(0, 16).select(F.col("id").alias("b"))),
+                F.col("v") % 16 == F.col("b"),
+            )
+            .count()
+        )
+
+        # one Arrow/pandas job sized to the FULL worker pool: fork every
+        # Python worker now and pay numpy/pandas import in each, instead
+        # of staggering ~cores forks + imports into the first kernel
+        # stage (an 8-partition warm-up left 3/4 of the pool cold on
+        # local[32])
+        def _touch_numpy(it):
+            import numpy as np
+
             for pdf in it:
+                np.asarray(pdf["id"].to_numpy(), dtype=np.float64).sum()
                 yield pdf
 
-        spark.range(0, 64, 1, 8).mapInPandas(_noop_batches, "id long").count()
+        n_workers = max(8, spark.sparkContext.defaultParallelism)
+        spark.range(0, 4 * n_workers, 1, 2 * n_workers).mapInPandas(
+            _touch_numpy, "id long"
+        ).count()
     except Exception:
         # warm-up is best-effort: a failure here must never break
         # session creation (e.g. minimal builds without pandas/Arrow)
